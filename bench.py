@@ -1,0 +1,109 @@
+"""Throughput benchmark: Mrays/s on the real chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The metric is true rays/s (primary + AA + shadow + bounce rays actually
+traced), not the reference's pixels/ms readout (Core/Renderer.cpp:473,
+SURVEY.md §6). Baseline for vs_baseline is the BASELINE.json north-star
+target of 500 Mrays/s/chip at a 4-bounce path trace.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MRAYS = 500.0  # BASELINE.json: >500 Mrays/s/chip at 4-bounce
+
+
+def build_bench_scene():
+    from physically_based_ray_tracer_tpu.scene.camera import Camera
+    from physically_based_ray_tracer_tpu.scene.lights import LightSet
+    from physically_based_ray_tracer_tpu.scene.procedural import make_quad, make_sphere
+    from physically_based_ray_tracer_tpu.scene.scene import Instance, MeshModel, build_scene
+
+    sphere = MeshModel.from_fat(make_sphere(radius=1.0, lat=32, lon=64),
+                                base_color=(0.8, 0.3, 0.2), roughness=0.4, metalness=0.2)
+    floor = MeshModel.from_fat(
+        make_quad([-8, -1, -8], [8, -1, -8], [8, -1, 8], [-8, -1, 8]),
+        base_color=(0.6, 0.6, 0.6), roughness=0.8)
+    lights = LightSet.make(
+        point_pos=[[2, 3, 2], [-2, 3, -1], [0, 5, 0], [3, 2, -3]],
+        point_color=[[20, 20, 20], [10, 12, 14], [6, 6, 6], [8, 4, 2]],
+        dir_pos=[[5, 8, 3]], dir_color=[[1.5, 1.4, 1.2]],
+        spot_pos=[[0, 4, 0]], spot_color=[[8, 8, 8]], spot_rot=[[0, -1, 0]],
+    )
+    instances = [Instance(0, position=(dx, 0, dz))
+                 for dx in (-2.2, 0.0, 2.2) for dz in (-2.2, 0.0, 2.2)]
+    instances.append(Instance(1))
+    scene, depth = build_scene([sphere, floor], instances, lights)
+    cam = Camera.make(pos=(0, 2.5, 7), target=(0, 0, 0))
+    return scene, cam, depth
+
+
+def count_rays(cfg, n_pixels):
+    """True per-frame ray count for this integrator:
+    per path vertex: 1 extension ray + (n_point + 1) shadow rays (the point
+    pass traces NP lanes, the dir/spot/area pass 1), per AA sub-sample."""
+    spp = 2 if cfg.antialias else 1
+    paths = n_pixels * spp
+    extension = paths * cfg.bounces
+    shadow = paths * cfg.bounces * (4 + 1) if cfg.lighted else 0
+    return extension + shadow
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from physically_based_ray_tracer_tpu.config import RenderConfig
+    from physically_based_ray_tracer_tpu.render.film import FilmState
+    from physically_based_ray_tracer_tpu.render.renderer import frame_fn
+    import functools
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
+                       skybox=False, max_stack_depth=32)
+    scene, cam, depth = build_bench_scene()
+
+    n_pix = cfg.n_pixels
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    film = FilmState.zeros(n_pix)
+    key = jax.random.key(0)
+    frame = jax.jit(functools.partial(frame_fn, cfg=cfg))
+
+    # warmup/compile
+    film_out, avg = frame(scene, cam, film=film, key=key, sample=0,
+                          pixel_ids=pixel_ids)
+    jax.block_until_ready(avg)
+
+    iters = 5
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        film_out, avg = frame(scene, cam, film=film_out, key=key,
+                              sample=i + 1, pixel_ids=pixel_ids)
+        jax.block_until_ready(avg)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    t_med = times[len(times) // 2]
+
+    rays = count_rays(cfg, n_pix)
+    mrays = rays / t_med / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip (1280x720, 4-bounce path trace, NEE, AA)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

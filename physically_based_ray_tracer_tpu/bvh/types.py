@@ -1,0 +1,94 @@
+"""Device-side BVH array layout.
+
+TPU-native re-design of tinybvh's node layouts (Core/tiny_bvh.h:701-1238).
+Instead of the reference's 8-wide AVX2 nodes we use an Aila/Laine-style
+2-wide layout where each internal node stores BOTH children's AABBs — one
+row gather per traversal step instead of two (the layout tinybvh calls
+``BVH_GPU``, Core/tiny_bvh.h:869-904, rebuilt here as SoA jnp arrays).
+
+Child/leaf encoding in ``nodes_child[n, 0..1]`` (int32):
+    c >= 0  -> internal node index
+    c <  0  -> leaf: m = -(c+1); first = m >> 4; count = m & 15
+A count of 0 encodes an empty slot (used to pad a root-leaf BVH).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+LEAF_COUNT_BITS = 4
+LEAF_COUNT_MASK = (1 << LEAF_COUNT_BITS) - 1
+
+
+def encode_leaf(first: int, count: int) -> int:
+    assert 0 <= count <= LEAF_COUNT_MASK
+    return -((first << LEAF_COUNT_BITS | count) + 1)
+
+
+def decode_leaf(c):
+    m = -(c + 1)
+    return m >> LEAF_COUNT_BITS, m & LEAF_COUNT_MASK
+
+
+class BVHArrays(NamedTuple):
+    """Flattened BVH + reordered fat-triangle arrays (device-resident).
+
+    Triangle data is stored leaf-contiguous in traversal order so that a leaf
+    visit is one contiguous (K, 9) gather. ``prim_index`` maps a reordered
+    slot back to the original triangle id for shading-attribute lookups.
+    """
+
+    nodes_box: jnp.ndarray    # (N, 12) f32: c0min, c0max, c1min, c1max
+    nodes_child: jnp.ndarray  # (N, 2) i32: child codes (see module docstring)
+    tris: jnp.ndarray         # (P, 9) f32: v0, e1, e2 (padded rows are degenerate)
+    prim_index: jnp.ndarray   # (P,) i32: original prim id (-1 for padding)
+
+    @property
+    def n_nodes(self):
+        return self.nodes_box.shape[0]
+
+    @property
+    def n_prims(self):
+        return self.tris.shape[0]
+
+    def to_device(self) -> "BVHArrays":
+        return BVHArrays(*(jnp.asarray(a) for a in self))
+
+    @staticmethod
+    def from_numpy(nodes_box, nodes_child, tris, prim_index) -> "BVHArrays":
+        return BVHArrays(
+            np.ascontiguousarray(nodes_box, np.float32),
+            np.ascontiguousarray(nodes_child, np.int32),
+            np.ascontiguousarray(tris, np.float32),
+            np.ascontiguousarray(prim_index, np.int32),
+        )
+
+
+def sah_cost(nodes_box: np.ndarray, nodes_child: np.ndarray,
+             c_trav: float = 1.0, c_int: float = 1.0) -> float:
+    """Diagnostic SAH cost (the analogue of BVH::SAHCost, tiny_bvh.h:1532)."""
+    def area(box):
+        e = np.maximum(box[3:6] - box[0:3], 0.0)
+        return 2.0 * (e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+    root = np.asarray(nodes_box[0])
+    root_min = np.minimum(root[0:3], root[6:9])
+    root_max = np.maximum(root[3:6], root[9:12])
+    root_area = area(np.concatenate([root_min, root_max]))
+    if root_area <= 0:
+        return 0.0
+    cost = 0.0
+    for n in range(nodes_box.shape[0]):
+        for side in range(2):
+            c = int(nodes_child[n, side])
+            box = nodes_box[n, side * 6:(side + 1) * 6]
+            a = area(box)
+            if c >= 0:
+                cost += c_trav * a
+            else:
+                _, count = decode_leaf(c)
+                cost += c_int * a * count
+    return cost / root_area

@@ -1,0 +1,86 @@
+"""Command-line renderer: the headless replacement for the reference's
+ImGui editor + GL blit loop (SURVEY.md §2.4: "replace with CLI/config +
+image outputs").
+
+Usage:
+    python -m physically_based_ray_tracer_tpu.cli --demo sphere --out out.png
+    python -m physically_based_ray_tracer_tpu.cli --demo cornell --spp 64
+    python -m physically_based_ray_tracer_tpu.cli --assets /path/to/assets \
+        --scene scene1 --width 1920 --height 1080
+Every reference render flag is exposed (bounces, AA, gamma, skybox, AOV, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native path tracer")
+    p.add_argument("--demo", choices=["sphere", "cornell"], default=None,
+                   help="procedural demo scene")
+    p.add_argument("--assets", default=None, help="reference-format assets root")
+    p.add_argument("--scene", default="scene1", help="scene directory name")
+    p.add_argument("--out", default=None, help="output PNG (default: timestamped)")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--spp", type=int, default=8, help="accumulated frames")
+    p.add_argument("--bounces", type=int, default=2)
+    p.add_argument("--aov", default="BRDF",
+                   help="render mode: BRDF|BASECOLOR|GEOMETRYNORMAL|SHADINGNORMAL|"
+                        "METAL|ROUGHNESS|EMMISIVE|DEPTH|PRIMID")
+    p.add_argument("--no-aa", action="store_true")
+    p.add_argument("--no-gamma", action="store_true")
+    p.add_argument("--no-skybox", action="store_true")
+    p.add_argument("--no-lights", action="store_true")
+    p.add_argument("--no-normal-map", action="store_true")
+    p.add_argument("--no-stochastic", action="store_true")
+    p.add_argument("--post", action="store_true", help="Panini + vignette + aberration")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from physically_based_ray_tracer_tpu.config import RenderConfig, RenderMode
+    from physically_based_ray_tracer_tpu.render.renderer import Renderer
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, bounces=args.bounces,
+        rendering_mode=RenderMode[args.aov],
+        antialias=not args.no_aa, gamma_corrected=not args.no_gamma,
+        skybox=not args.no_skybox, lighted=not args.no_lights,
+        normal_mapped=not args.no_normal_map,
+        stochastic_lights=not args.no_stochastic,
+        post_processed=args.post)
+
+    if args.demo == "cornell":
+        from physically_based_ray_tracer_tpu.scene.presets import cornell_box
+        scene, cam = cornell_box()
+    elif args.demo == "sphere" or args.assets is None:
+        from physically_based_ray_tracer_tpu.scene.presets import sphere_demo
+        scene, cam = sphere_demo()
+    else:
+        from physically_based_ray_tracer_tpu.scene.loader import load_reference_scene
+        scene, cam, _ = load_reference_scene(args.assets, args.scene)
+
+    r = Renderer(scene, cam, cfg)
+    import jax
+    t0 = time.time()
+    for s in range(args.spp):
+        r.tick(jax.random.key(args.seed))
+        print(f"frame {s + 1}/{args.spp}: {r.stats.frame_ms:.1f} ms, "
+              f"{r.stats.mrays_per_s:.1f} Mrays/s", file=sys.stderr)
+    out = r.capture(args.out)
+    print(f"wrote {out} ({args.spp} spp, {time.time() - t0:.1f}s total)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Render configuration.
+
+The reference engine configures itself through three tiers (SURVEY.md §5):
+compile-time ``#define``s (``template/common.h``, ``Core/BRDF.h:42-160``),
+runtime flags on the Renderer singleton (``Core/Renderer.h:33-49``) and JSON
+asset files. Here a single frozen dataclass mirrors those flags 1:1 so every
+reference configuration is expressible, while remaining a static (hashable)
+argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class RenderMode(enum.IntEnum):
+    """AOV selector; mirrors ``RENDER_STATES`` (Core/Renderer.h:37-46)."""
+
+    BRDF = 0
+    BASECOLOR = 1
+    GEOMETRYNORMAL = 2
+    SHADINGNORMAL = 3
+    METAL = 4
+    ROUGHNESS = 5
+    EMMISIVE = 6
+    DEPTH = 7        # extra AOV (not in reference): hit distance
+    PRIMID = 8       # extra AOV (not in reference): primitive id visualisation
+
+
+class NDF(enum.IntEnum):
+    """Microfacet normal distribution (Core/BRDF.h:8-9)."""
+
+    GGX = 1
+    BECKMANN = 2
+
+
+class DiffuseModel(enum.IntEnum):
+    """Diffuse BRDF selector (Core/BRDF.h:16-19)."""
+
+    NONE = 0
+    LAMBERTIAN = 1
+    OREN_NAYAR = 2
+    DISNEY = 3
+    FROSTBITE = 4
+
+
+class SpecularModel(enum.IntEnum):
+    """Specular BRDF selector (Core/BRDF.h:12-13)."""
+
+    NONE = 0
+    MICROFACET = 1
+    PHONG = 2
+
+
+# Compile-time constants of the reference (template/common.h, Core/BRDF.h:65).
+EPSILON = 0.01               # ray-offset epsilon (template/common.h:26)
+MIN_DIELECTRICS_F0 = 0.4     # reference quirk: 0.4, not the usual 0.04 (Core/BRDF.h:65)
+POINTLIGHTS = 4              # SIMD point-light count (template/common.h:17)
+BVH_FAR = 1e30               # "miss" sentinel distance (Core/tiny_bvh.h:131)
+
+# Stochastic NEE light-type selection probabilities (Core/Renderer.cpp:205-207).
+P_POINT = 0.3
+P_DIRECTIONAL = 0.5
+P_SPOT = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class BRDFConfig:
+    """Static BRDF model selection; mirrors the macro matrix Core/BRDF.h:42-160."""
+
+    ndf: NDF = NDF.GGX
+    specular: SpecularModel = SpecularModel.MICROFACET
+    diffuse: DiffuseModel = DiffuseModel.LAMBERTIAN
+    use_vndf_sampling: bool = True          # !USE_WALTER_GGX_SAMPLING default
+    use_spherical_caps_vndf: bool = False   # !USE_VNDF_WITH_SPHERICAL_CAPS default
+    use_height_correlated_g2: bool = True   # USE_HEIGHT_CORRELATED_G2 (Core/BRDF.h:80)
+    use_optimized_g2: bool = True           # USE_OPTIMIZED_G2 (Core/BRDF.h:77)
+    use_reflectance_parameter: bool = False  # USE_REFLECTANCE_PARAMETER (Core/BRDF.h:68)
+    combine_brdfs_with_fresnel: bool = True  # COMBINE_BRDFS_WITH_FRESNEL (Core/BRDF.h:72-74)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Runtime render flags; mirrors Renderer singleton state (Core/Renderer.h:33-49).
+
+    This object is static under jit: changing it triggers recompilation, the
+    same way toggling the reference's ImGui checkboxes changes the traced code
+    path.
+    """
+
+    width: int = 1280                 # SCRWIDTH (template/common.h:8)
+    height: int = 720                 # SCRHEIGHT (template/common.h:9)
+    bounces: int = 2                  # path vertices (Core/Renderer.h:36)
+    rendering_mode: RenderMode = RenderMode.BRDF
+    lighted: bool = True              # LIGHTED
+    gamma_corrected: bool = True      # GAMMACORRECTED: sqrt tonemap (Core/Renderer.cpp:73-79)
+    normal_mapped: bool = True        # NORMALMAPPED
+    skybox: bool = True               # SKYBOX
+    antialias: bool = True            # AA: 2 jittered rays/pixel (Core/Renderer.cpp:59-66)
+    post_processed: bool = False      # isPostProcessed: panini + vignette + aberration
+    stochastic_lights: bool = True    # isStochastic: NEE light-type lottery
+    accumulate: bool = True           # accumulates: depth-keyed running mean
+    samples_per_pixel: int = 1        # wavefront batch factor (reference: 1 frame = 1 spp)
+    brdf: BRDFConfig = dataclasses.field(default_factory=BRDFConfig)
+    # Deviation switches (all default to reference-faithful behaviour):
+    exact_point_falloff: bool = False  # reference uses color/dist (not 1/d^2) for point lights
+    chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame
+    max_stack_depth: int = 48          # traversal stack bound (TPU-side, static)
+    leaf_size: int = 4                 # max tris per BVH leaf (mirrors BVHTri4Leaf)
+    dtype: str = "float32"
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,378 @@
+"""Wavefront path-tracing integrator.
+
+The TPU-native rebuild of ``Renderer::Trace`` (Core/Renderer.cpp:150-406).
+The reference's per-ray recursion becomes an unrolled bounce loop over SoA
+ray batches: every path vertex does one closest-hit traversal, one fused
+shading/NEE block (two batched occlusion traversals), and one continuation
+sample. Lanes die by masking; XLA fuses all elementwise math between the
+traversal loops.
+
+Faithfully replicated reference semantics (bias-for-bias, SURVEY.md §7):
+  * stochastic NEE light-type lottery P = {point .3, directional .5, spot .2}
+    (Core/Renderer.cpp:205-214), contribution divided by pick probability;
+  * point lights: color * cos / dist falloff (note: 1/dist, not 1/dist^2 —
+    Core/Renderer.cpp:251-253) and shadow tmax = dist^2 - EPSILON (the
+    reference passes squared distance as the ray limit, :257);
+  * specular NEE from one randomly chosen point light with the nonuniform
+    pick ``int(u*10) % 4`` (Core/Renderer.cpp:267);
+  * directional light evaluated toward a position (:273), no falloff;
+  * spot light: hard cone ``dot(L, rot) > 0.9``, 1/d^2 falloff (:295-301);
+  * emissive added with throughput (:196); gamma sqrt happens in film.py;
+  * dielectric fast path (transmissivness == 1): the reference traces BOTH
+    reflection and refraction recursively (:331-372) — a tree. Here it is a
+    Fresnel-weighted russian roulette between the two (equal in expectation;
+    an intentional, unbiased deviation documented in SURVEY.md §7), and the
+    vertex's own emissive+NEE contribution is discarded exactly like the
+    reference's early ``return``;
+  * mirror fast path (metal==1, rough==0) forces the specular lobe (:376);
+  * diffuse/specular lobe RIS with getBrdfProbability and 1/p weighting
+    (:380-392);
+  * rays offset by EPSILON = 0.01 along the travel direction (:404).
+
+Extensions beyond the reference: first-class area-light NEE (the reference
+declares AreaLight but never instantiates it) using physically correct
+solid-angle conversion, and arbitrary point-light counts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from physically_based_ray_tracer_tpu.config import (EPSILON, BVH_FAR, P_DIRECTIONAL,
+                                                    P_POINT, P_SPOT, RenderConfig,
+                                                    RenderMode)
+from physically_based_ray_tracer_tpu.ops import brdf as brdf_ops
+from physically_based_ray_tracer_tpu.ops.intersect import Hit
+from physically_based_ray_tracer_tpu.ops.traverse import (intersect_any,
+                                                          intersect_closest,
+                                                          refine_hit)
+from physically_based_ray_tracer_tpu.scene.camera import Camera, primary_rays, sample_skybox
+from physically_based_ray_tracer_tpu.scene.lights import sample_area_rect
+from physically_based_ray_tracer_tpu.scene.material import (geometry_normal,
+                                                            material_at_hit,
+                                                            shading_normal)
+from physically_based_ray_tracer_tpu.utils import rng
+from physically_based_ray_tracer_tpu.utils.math import dot, normalize, reflect, refract
+from physically_based_ray_tracer_tpu.utils.rng import Purpose
+
+
+def _light_type_weights(lights):
+    """Active-light-type probabilities: the reference's 0.3/0.5/0.2 mix
+    (plus 0.3 for the area extension), renormalised over present types so
+    scene1 (point+dir+spot) keeps exactly the reference lottery."""
+    w = [P_POINT * (lights.n_point > 0), P_DIRECTIONAL * (lights.n_dir > 0),
+         P_SPOT * (lights.n_spot > 0), 0.3 * (lights.n_area > 0)]
+    total = sum(w)
+    if total == 0:
+        return None
+    return [x / total for x in w]
+
+
+def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
+                    pixel_id, key, sample, depth):
+    """Stochastic next-event estimation (Core/Renderer.cpp:198-326).
+
+    Returns the radiance contribution at this vertex (throughput NOT applied).
+    Two batched occlusion launches: one for the (lane, n_point) point-light
+    shadow rays, one for the per-lane selected dir/spot/area shadow ray.
+    """
+    lights = scene.lights
+    B = point.shape[0]
+    zeros = jnp.zeros((B, 3), point.dtype)
+
+    weights = _light_type_weights(lights)
+    if weights is None or not cfg.lighted:
+        return zeros
+
+    if cfg.stochastic_lights:
+        u_pick = rng.uniform1(key, pixel_id, sample, depth, Purpose.LIGHT_TYPE)
+        p_point, p_dir, p_spot, p_area = weights
+        pick_point = u_pick < p_point
+        pick_dir = (~pick_point) & (u_pick < p_point + p_dir)
+        pick_spot = (~pick_point) & (~pick_dir) & (u_pick < p_point + p_dir + p_spot)
+        pick_area = (~pick_point) & (~pick_dir) & (~pick_spot) & (p_area > 0)
+    else:
+        # non-stochastic fallback: directional only (Core/Renderer.cpp:312-326)
+        if lights.n_dir == 0:
+            return zeros
+        p_dir = 1.0
+        p_point = p_spot = p_area = 0.0
+        pick_point = jnp.zeros((B,), bool)
+        pick_dir = jnp.ones((B,), bool)
+        pick_spot = jnp.zeros((B,), bool)
+        pick_area = jnp.zeros((B,), bool)
+
+    result = zeros
+
+    # ---- point lights: (B, NP) evaluation + one flattened occlusion pass ---
+    if lights.n_point > 0 and p_point > 0:
+        np_ = lights.n_point
+        lvec = lights.point_pos[None, :, :] - point[:, None, :]      # (B, NP, 3)
+        dist_sq = jnp.sum(lvec * lvec, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-20))
+        ldir = lvec / dist[..., None]
+        cosa = jnp.maximum(jnp.sum(shading_n[:, None, :] * ldir, axis=-1), 0.0)
+        inv_dist = 1.0 / dist
+        # reference falloff: color * cos / dist (Core/Renderer.cpp:251-253);
+        # exact_point_falloff switches to physical 1/d^2
+        falloff = inv_dist * inv_dist if cfg.exact_point_falloff else inv_dist
+        contrib = (lights.point_color[None] * lights.point_active[None, :, None]
+                   * (falloff * cosa)[..., None])                     # (B, NP, 3)
+
+        sg = jax.lax.stop_gradient
+        bvh_sg = jax.tree.map(sg, scene.bvh)
+        # all NP shadow rays in one flattened occlusion pass (frame chunking
+        # in render/renderer.py bounds the live (B*NP,) traversal state)
+        so = sg((point[:, None, :] + ldir * EPSILON).reshape(B * np_, 3))
+        sd = sg(ldir.reshape(B * np_, 3))
+        # reference quirk: tmax = dist^2 - EPSILON (squared; Core/Renderer.cpp:257)
+        tmax = sg(jnp.where(pick_point[:, None], dist_sq - EPSILON, 0.0).reshape(B * np_))
+        occ = intersect_any(bvh_sg, so, sd, tmax,
+                            stack_depth=cfg.max_stack_depth,
+                            leaf_size=cfg.leaf_size).reshape(B, np_)
+        visible = (~occ) & pick_point[:, None]
+        point_contrib = jnp.sum(jnp.where(visible[..., None], contrib, 0.0), axis=1)
+        point_contrib = point_contrib / p_point
+
+        # specular BRDF from ONE randomly chosen light: int(u*10) % NP
+        u_sel = rng.uniform1(key, pixel_id, sample, depth, Purpose.LIGHT_SELECT)
+        which = (u_sel * 10.0).astype(jnp.int32) % np_
+        l_sel = jnp.take_along_axis(ldir, which[:, None, None], axis=1)[:, 0, :]
+        bsdf = brdf_ops.eval_combined_brdf(shading_n, l_sel, v, material, cfg.brdf)
+        result = result + jnp.where(pick_point[:, None], bsdf * point_contrib, 0.0)
+
+    # ---- directional / spot / area: one shared per-lane occlusion pass -----
+    any_other = (lights.n_dir > 0 and p_dir > 0) or (lights.n_spot > 0 and p_spot > 0) \
+        or (lights.n_area > 0 and p_area > 0)
+    if any_other:
+        l_dir = jnp.zeros((B, 3), point.dtype)
+        t_other = jnp.zeros((B,), point.dtype)
+        contrib_other = zeros
+        # area-light sampling shares the lane's slot in the occlusion pass
+        if lights.n_dir > 0 and p_dir > 0:
+            lvec = lights.dir_pos[0][None, :] - point
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(lvec * lvec, axis=-1), 1e-20))
+            ld = lvec / dist[:, None]
+            cosa = jnp.maximum(0.0, dot(shading_n, ld))
+            c = lights.dir_color[0][None, :] * cosa[:, None] / p_dir
+            l_dir = jnp.where(pick_dir[:, None], ld, l_dir)
+            t_other = jnp.where(pick_dir, dist - EPSILON, t_other)
+            contrib_other = jnp.where(pick_dir[:, None], c, contrib_other)
+        if lights.n_spot > 0 and p_spot > 0:
+            lvec = lights.spot_pos[0][None, :] - point
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(lvec * lvec, axis=-1), 1e-20))
+            ld = lvec / dist[:, None]
+            cosa = jnp.maximum(0.0, dot(shading_n, ld))
+            factor = dot(ld, lights.spot_rot[0][None, :])
+            c = (lights.spot_color[0][None, :] * (cosa / (dist * dist))[:, None]
+                 * (factor > 0.9)[:, None].astype(point.dtype)) / p_spot
+            l_dir = jnp.where(pick_spot[:, None], ld, l_dir)
+            t_other = jnp.where(pick_spot, dist - EPSILON, t_other)
+            contrib_other = jnp.where(pick_spot[:, None], c, contrib_other)
+        if lights.n_area > 0 and p_area > 0:
+            u_area = rng.uniform2(key, pixel_id, sample, depth, Purpose.AREA_LIGHT)
+            u_sel = rng.uniform1(key, pixel_id, sample, depth, Purpose.LIGHT_SELECT)
+            which = (u_sel * lights.n_area).astype(jnp.int32) % lights.n_area
+            q, ln, pdf_area = sample_area_rect(lights, which, u_area)
+            lvec = q - point
+            dist_sq = jnp.maximum(jnp.sum(lvec * lvec, axis=-1), 1e-20)
+            dist = jnp.sqrt(dist_sq)
+            ld = lvec / dist[:, None]
+            cos_light = jnp.maximum(0.0, -dot(ld, ln))
+            col = jnp.take(lights.area_color, which, axis=0, mode="clip")
+            # physically-correct area NEE: radiance * cosL / (d^2 * pdf_area);
+            # the surface cosine lives inside evalCombinedBRDF
+            c = col * (cos_light / (dist_sq * pdf_area * p_area
+                                    * float(lights.n_area)))[:, None] * float(lights.n_area)
+            # (pick 1-of-NA uniformly: the two NA factors cancel; kept for clarity)
+            l_dir = jnp.where(pick_area[:, None], ld, l_dir)
+            t_other = jnp.where(pick_area, dist - EPSILON, t_other)
+            contrib_other = jnp.where(pick_area[:, None], c, contrib_other)
+
+        sg = jax.lax.stop_gradient
+        so = point + l_dir * EPSILON
+        occ = intersect_any(jax.tree.map(sg, scene.bvh), sg(so), sg(l_dir), sg(t_other),
+                            stack_depth=cfg.max_stack_depth, leaf_size=cfg.leaf_size)
+        bsdf = brdf_ops.eval_combined_brdf(shading_n, l_dir, v, material, cfg.brdf)
+        other = jnp.where(((~occ) & (pick_dir | pick_spot | pick_area))[:, None],
+                          bsdf * contrib_other, 0.0)
+        result = result + other
+
+    return result
+
+
+def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
+    """Trace a batch of paths to completion; returns (radiance (B,3), primary Hit).
+
+    One ``lax.scan`` over path vertices with a uniform body — the compiled
+    program contains a single copy of the traversal/shading pipeline
+    regardless of ``cfg.bounces`` (bounded compile time; the reference's
+    recursion depth is a runtime constant here).
+    """
+    B = o.shape[0]
+
+    # Traversal is a discrete search: keep gradients out of the while-loops
+    # (detached-sampling estimator, SURVEY.md §7). Differentiable (t, u, v)
+    # are recomputed analytically from the hit triangle below.
+    sg = jax.lax.stop_gradient
+    bvh_sg = jax.tree.map(sg, scene.bvh)
+
+    def body(carry, depth):
+        o, d, radiance, throughput, alive, primary_t = carry
+
+        t_init = jnp.where(alive, BVH_FAR, 0.0)
+        hit = intersect_closest(bvh_sg, sg(o), sg(d), sg(t_init),
+                                stack_depth=cfg.max_stack_depth,
+                                leaf_size=cfg.leaf_size)
+        # differentiable re-intersection against the original-order triangle
+        prim = jnp.maximum(hit.prim, 0)
+        rt, ru, rv = refine_hit(o, d,
+                                jnp.take(scene.tri_v0, prim, axis=0, mode="clip"),
+                                jnp.take(scene.tri_e1, prim, axis=0, mode="clip"),
+                                jnp.take(scene.tri_e2, prim, axis=0, mode="clip"))
+        found = hit.prim >= 0
+        hit_t = jnp.where(found, rt, hit.t)
+        hit_u = jnp.where(found, ru, 0.0)
+        hit_v = jnp.where(found, rv, 0.0)
+        primary_t = jnp.where(depth == 0, hit_t, primary_t)
+
+        miss = alive & ~found
+        if cfg.skybox and scene.sky.shape[0] > 1:
+            radiance = radiance + jnp.where(
+                miss[:, None], throughput * sample_skybox(scene.sky, d), 0.0)
+        alive = alive & found
+
+        point = o + d * hit_t[:, None]
+        v = -d
+        geom_n = geometry_normal(scene, prim)
+        shad_n = shading_normal(scene, prim, hit_u, hit_v, cfg.normal_mapped)
+        material = material_at_hit(scene, prim, hit_u, hit_v)
+
+        vertex_rad = throughput * material.emissive
+        vertex_rad = vertex_rad + throughput * direct_lighting(
+            scene, cfg, point, shad_n, v, material, pixel_id, key, sample, depth)
+
+        last = depth == cfg.bounces - 1
+        # reference: the dielectric branch discards this vertex's own
+        # emissive+NEE via its early return (Core/Renderer.cpp:331-372) —
+        # except at the last vertex, where :329 returns `result` first
+        is_dielectric = (material.transmissivness == 1.0) & ~last
+        radiance = radiance + jnp.where((alive & ~is_dielectric)[:, None],
+                                        vertex_rad, 0.0)
+
+        # ---- dielectric continuation: Fresnel russian roulette -------------
+        n1, n2 = 1.0, 1.46
+        cos_theta = jnp.clip(-dot(d, shad_n), 0.0, 1.0)
+        eta = n1 / n2
+        k = 1.0 - eta * eta * (1.0 - cos_theta * cos_theta)
+        r0 = ((n1 - n2) / (n1 + n2)) ** 2
+        fresnel = r0 + (1.0 - r0) * jnp.power(1.0 - cos_theta, 5.0)
+        fresnel = jnp.where(k <= 0.0, 1.0, fresnel)
+        u_diel = rng.uniform1(key, pixel_id, sample, depth, Purpose.DIELECTRIC)
+        take_reflect = u_diel < fresnel
+        refl_dir = reflect(d, shad_n)
+        refr_dir = refract(d, shad_n, eta)
+        diel_dir = jnp.where(take_reflect[:, None], refl_dir, refr_dir)
+        diel_org = jnp.where(take_reflect[:, None],
+                             point + shad_n * EPSILON, point - shad_n * EPSILON)
+
+        # ---- lobe selection (mirror fast path + RIS lottery) ---------------
+        is_mirror = (material.metalness == 1.0) & (material.roughness == 0.0)
+        p_spec = brdf_ops.get_brdf_probability(material, v, shad_n)
+        u_lobe = rng.uniform1(key, pixel_id, sample, depth, Purpose.LOBE_SELECT)
+        pick_spec = (u_lobe < p_spec) | is_mirror
+        lobe_div = jnp.where(is_mirror, 1.0,
+                             jnp.where(pick_spec, p_spec, 1.0 - p_spec))
+        brdf_type = jnp.where(pick_spec, brdf_ops.SPECULAR_TYPE,
+                              brdf_ops.DIFFUSE_TYPE).astype(jnp.int32)
+
+        u2 = rng.uniform2(key, pixel_id, sample, depth, Purpose.BRDF_SAMPLE)
+        bounce_dir, weight, valid = brdf_ops.eval_indirect_combined_brdf(
+            u2, shad_n, geom_n, v, material, brdf_type, cfg.brdf)
+
+        w_scaled = weight / lobe_div[:, None]
+        throughput = throughput * jnp.where(is_dielectric[:, None], 1.0, w_scaled)
+        o = jnp.where(is_dielectric[:, None], diel_org,
+                      point + bounce_dir * EPSILON)
+        d = jnp.where(is_dielectric[:, None], diel_dir, bounce_dir)
+        alive = alive & jnp.where(is_dielectric, True, valid)
+        return (o, d, radiance, throughput, alive, primary_t), None
+
+    init = (o, d, jnp.zeros((B, 3), o.dtype), jnp.ones((B, 3), o.dtype),
+            jnp.ones((B,), bool), jnp.full((B,), BVH_FAR, o.dtype))
+    (o, d, radiance, throughput, alive, primary_t), _ = jax.lax.scan(
+        body, init, jnp.arange(cfg.bounces))
+
+    neg1 = jnp.full((B,), -1, jnp.int32)
+    primary_hit = Hit(t=primary_t, u=jnp.zeros((B,), o.dtype),
+                      v=jnp.zeros((B,), o.dtype), prim=neg1, inst=neg1)
+    return radiance, primary_hit
+
+
+def render_aov(scene, cfg: RenderConfig, o, d):
+    """Debug AOV views (Core/Renderer.cpp:170-194), evaluated at primary hits."""
+    hit = intersect_closest(scene.bvh, o, d,
+                            stack_depth=cfg.max_stack_depth, leaf_size=cfg.leaf_size)
+    prim = jnp.maximum(hit.prim, 0)
+    ok = (hit.prim >= 0)[:, None]
+    mode = cfg.rendering_mode
+    if mode == RenderMode.BASECOLOR:
+        out = material_at_hit(scene, prim, hit.u, hit.v).base_color
+    elif mode == RenderMode.METAL:
+        out = material_at_hit(scene, prim, hit.u, hit.v).metalness[:, None] * jnp.ones((1, 3))
+    elif mode == RenderMode.ROUGHNESS:
+        out = material_at_hit(scene, prim, hit.u, hit.v).roughness[:, None] * jnp.ones((1, 3))
+    elif mode == RenderMode.EMMISIVE:
+        out = material_at_hit(scene, prim, hit.u, hit.v).emissive
+    elif mode == RenderMode.GEOMETRYNORMAL:
+        out = (geometry_normal(scene, prim) + 1.0) * 0.5
+    elif mode == RenderMode.SHADINGNORMAL:
+        out = (shading_normal(scene, prim, hit.u, hit.v, cfg.normal_mapped) + 1.0) * 0.5
+    elif mode == RenderMode.DEPTH:
+        t = jnp.where(hit.prim >= 0, hit.t, 0.0)
+        out = (t / jnp.maximum(jnp.max(t), 1e-9))[:, None] * jnp.ones((1, 3))
+    elif mode == RenderMode.PRIMID:
+        h = (hit.prim.astype(jnp.uint32) * jnp.uint32(2654435761))
+        out = jnp.stack([(h & 0xFF), ((h >> 8) & 0xFF), ((h >> 16) & 0xFF)],
+                        axis=-1).astype(jnp.float32) / 255.0
+    else:
+        raise ValueError(mode)
+    return jnp.where(ok, out, 0.0), hit
+
+
+def render_sample(scene, cam: Camera, cfg: RenderConfig, key, sample, pixel_ids):
+    """One sample for a batch of pixels.
+
+    Mirrors the per-pixel work of Renderer::Tick's loop (Core/Renderer.cpp:
+    43-141): primary ray at integer pixel coords, optional second jittered AA
+    ray averaged 50/50 (:59-66). Returns (color (B,3), primary_t (B,)).
+    """
+    xs = (pixel_ids % cfg.width).astype(jnp.float32)
+    ys = (pixel_ids // cfg.width).astype(jnp.float32)
+
+    o1, d1 = primary_rays(cam, xs, ys, cfg.width, cfg.height,
+                          panini=cfg.post_processed)
+
+    if cfg.rendering_mode != RenderMode.BRDF:
+        color, hit = render_aov(scene, cfg, o1, d1)
+        return color, hit.t
+
+    if cfg.antialias:
+        # both AA sub-rays trace in ONE doubled batch (half the compiled
+        # graph of two sequential trace_paths calls); the second half gets
+        # disjoint RNG streams via pixel_id + n_pixels
+        b = pixel_ids.shape[0]
+        j = rng.uniform2(key, pixel_ids, sample, 0, Purpose.AA_JITTER)
+        o2, d2 = primary_rays(cam, xs + j[:, 0], ys + j[:, 1],
+                              cfg.width, cfg.height, panini=cfg.post_processed)
+        o = jnp.concatenate([o1, o2])
+        d = jnp.concatenate([d1, d2])
+        pid2 = jnp.concatenate([pixel_ids, pixel_ids + cfg.n_pixels])
+        r, hit = trace_paths(scene, cfg, o, d, pid2, key, sample)
+        color = 0.5 * (r[:b] + r[b:])
+        primary_t = hit.t[:b]
+    else:
+        color, hit = trace_paths(scene, cfg, o1, d1, pixel_ids, key, sample)
+        primary_t = hit.t
+    return color, primary_t

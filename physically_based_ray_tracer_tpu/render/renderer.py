@@ -1,0 +1,113 @@
+"""Frame orchestration: the TPU-native ``Renderer``.
+
+Replaces the reference's singleton + mutable frame loop (Core/Renderer.cpp:
+22-148) with a host-side orchestrator around one jitted, pure frame function:
+``film' , image = frame(scene, camera, film, key, sample)``. Physics stepping
+and TLAS rebuild (reference Tick steps 1-4) are out of scope / host-side;
+everything from primary rays to post-processing runs on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physically_based_ray_tracer_tpu.config import RenderConfig, RenderMode
+from physically_based_ray_tracer_tpu.ops.tonemap import post_process
+from physically_based_ray_tracer_tpu.render import film as film_mod
+from physically_based_ray_tracer_tpu.render.integrator import render_sample
+from physically_based_ray_tracer_tpu.scene.camera import Camera
+from physically_based_ray_tracer_tpu.utils import image as image_utils
+from physically_based_ray_tracer_tpu.utils.timer import DeviceTimer, FrameStats, ray_count
+
+
+def frame_fn(scene, cam: Camera, film: film_mod.FilmState,
+             key, sample, pixel_ids, *, cfg: RenderConfig):
+    """Pure frame step for an arbitrary pixel subset (sharding-friendly).
+
+    Pixels are processed in sequential wavefront chunks (``lax.map``) of
+    ``cfg.chunk_pixels`` so live HBM stays bounded regardless of resolution —
+    the TPU analogue of the reference's scanline batching.
+
+    Returns (new_film, averaged_color (B, 3)).
+    """
+    color, primary_t = render_chunked(scene, cam, cfg, key, sample, pixel_ids)
+    new_film, avg = film_mod.update(film, color, primary_t, cfg)
+    return new_film, avg
+
+
+def render_chunked(scene, cam: Camera, cfg: RenderConfig, key, sample, pixel_ids):
+    """render_sample over sequential chunks; returns (color (B,3), t (B,))."""
+    b = pixel_ids.shape[0]
+    if b <= cfg.chunk_pixels:
+        return render_sample(scene, cam, cfg, key, sample, pixel_ids)
+    n_chunks = -(-b // cfg.chunk_pixels)
+    chunk = -(-b // n_chunks)
+    padded = chunk * n_chunks
+    ids = jnp.pad(pixel_ids, (0, padded - b), mode="edge").reshape(n_chunks, chunk)
+    color, t = jax.lax.map(
+        lambda c_ids: render_sample(scene, cam, cfg, key, sample, c_ids), ids)
+    return color.reshape(padded, 3)[:b], t.reshape(padded)[:b]
+
+
+class Renderer:
+    """Host-side convenience wrapper: owns film state, compiles the frame fn."""
+
+    def __init__(self, scene, camera: Camera, config: RenderConfig):
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.film = film_mod.FilmState.zeros(config.n_pixels)
+        self.stats = FrameStats()
+        self.sample = 0
+        self._pixel_ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
+        self._frame = jax.jit(
+            functools.partial(frame_fn, cfg=config),
+            static_argnames=())
+
+    def reset_accumulation(self):
+        """memset(accumulator) analogue (Core/Renderer.cpp:147)."""
+        self.film = film_mod.FilmState.zeros(self.config.n_pixels)
+        self.sample = 0
+
+    def tick(self, key=None) -> np.ndarray:
+        """Render one frame (1 sample/pixel [+AA]), update accumulation, and
+        return the display image (H, W, 3) float in [0, 1]."""
+        if key is None:
+            key = jax.random.key(0)
+        with DeviceTimer() as t:
+            self.film, avg = self._frame(
+                self.scene, self.camera, film=self.film, key=key,
+                sample=self.sample, pixel_ids=self._pixel_ids)
+            avg = jax.block_until_ready(avg)
+        self.sample += 1
+        self.stats.update(t.ms, ray_count(self.config, self.config.n_pixels))
+
+        img = np.asarray(avg).reshape(self.config.height, self.config.width, 3)
+        if self.config.post_processed:
+            img = np.asarray(post_process(jnp.asarray(img)))
+        return np.clip(img, 0.0, 1.0)
+
+    def render(self, samples: int = 1, seed: int = 0) -> np.ndarray:
+        """Accumulate ``samples`` frames and return the final image."""
+        img = None
+        for s in range(samples):
+            img = self.tick(jax.random.key(seed))
+        return img
+
+    def capture(self, path: str | None = None) -> str:
+        """PNG export (Renderer::Capture, Core/Renderer.cpp:437-465)."""
+        img = self.render(samples=1) if self.sample == 0 else self._current_image()
+        path = path or image_utils.capture_path()
+        return image_utils.write_png(path, img)
+
+    def _current_image(self) -> np.ndarray:
+        avg = np.asarray(self.film.accum) / np.maximum(
+            np.asarray(self.film.spp)[:, None], 1.0)
+        img = avg.reshape(self.config.height, self.config.width, 3)
+        if self.config.post_processed:
+            img = np.asarray(post_process(jnp.asarray(img)))
+        return np.clip(img, 0.0, 1.0)

@@ -1,0 +1,137 @@
+"""Hit-point shading queries: normals + material fetch.
+
+TPU-native counterpart of Scene::GetGeometryNormal / GetShadingNormal /
+GetMaterialBRDF (Core/Scene.cpp:47-218). All lookups are batched gathers over
+SoA attribute arrays; texture taps are nearest-neighbour uint32 texel fetches
+from a flat texel pool, decoded with the reference's channel conventions
+(albedo = sRGB->linear RGB, RMA: G = roughness, B = metalness
+Core/Scene.cpp:179-180, emission = raw RGB, normal map = 2c/255 - 1).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from physically_based_ray_tracer_tpu.ops.brdf import MaterialProperties
+from physically_based_ray_tracer_tpu.utils.math import normalize, srgb_to_linear
+
+# texture-kind indices in SceneData.tex_record
+TEX_ALBEDO = 0
+TEX_NORMAL = 1
+TEX_RMA = 2
+TEX_EMISSION = 3
+
+
+def _take(arr, idx):
+    return jnp.take(arr, idx, axis=0, mode="clip")
+
+
+def _decode_rgb(texel):
+    """uint32 ARGB -> float RGB in [0,1] (Scene::MakeColorFromTexel,
+    Core/Scene.cpp:225-229)."""
+    s = 1.0 / 255.0
+    r = ((texel >> 16) & 0xFF).astype(jnp.float32) * s
+    g = ((texel >> 8) & 0xFF).astype(jnp.float32) * s
+    b = (texel & 0xFF).astype(jnp.float32) * s
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _decode_normal(texel):
+    """uint32 ARGB -> tangent-space normal in [-1,1] (Core/Scene.cpp:231-235)."""
+    s = 2.0 / 255.0
+    r = ((texel >> 16) & 0xFF).astype(jnp.float32) * s - 1.0
+    g = ((texel >> 8) & 0xFF).astype(jnp.float32) * s - 1.0
+    b = (texel & 0xFF).astype(jnp.float32) * s - 1.0
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def fetch_texel(pool, record, uv):
+    """Nearest-neighbour tap. record: (..., 3) = (offset, width, height);
+    offset < 0 means "no texture". Returns (texel_u32, has_texture_mask).
+
+    Index math mirrors Core/Scene.cpp:163-165: iu = int(u*W) % W.
+    """
+    offset, w, h = record[..., 0], record[..., 1], record[..., 2]
+    has = offset >= 0
+    ws = jnp.maximum(w, 1)
+    hs = jnp.maximum(h, 1)
+    iu = (uv[..., 0] * ws).astype(jnp.int32) % ws
+    iv = (uv[..., 1] * hs).astype(jnp.int32) % hs
+    idx = jnp.maximum(offset, 0) + iu + iv * ws
+    return _take(pool, idx), has
+
+
+def interpolate_uv(scene, prim, u, v):
+    """Barycentric UV: v*uv[c2] + u*uv[c1] + w*uv[c0] (Core/Scene.cpp:156-158)."""
+    c0 = prim * 3
+    w = 1.0 - u - v
+    uv0 = _take(scene.corner_uv, c0)
+    uv1 = _take(scene.corner_uv, c0 + 1)
+    uv2 = _take(scene.corner_uv, c0 + 2)
+    return w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
+
+
+def geometry_normal(scene, prim):
+    """World-space face normal (Scene::GetGeometryNormal, Core/Scene.cpp:47-58;
+    transforms are baked at scene build since the world BVH is pre-transformed)."""
+    return _take(scene.face_normal, prim)
+
+
+def shading_normal(scene, prim, u, v, normal_mapped: bool = True):
+    """Interpolated vertex normal, optional TBN normal mapping
+    (Scene::GetShadingNormal, Core/Scene.cpp:60-138)."""
+    c0 = prim * 3
+    w = 1.0 - u - v
+    n0 = _take(scene.corner_normal, c0)
+    n1 = _take(scene.corner_normal, c0 + 1)
+    n2 = _take(scene.corner_normal, c0 + 2)
+    n = w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2
+
+    if not normal_mapped:
+        return normalize(n)
+
+    model = _take(scene.prim_model, prim)
+    rec = _take(scene.tex_record, model)[..., TEX_NORMAL, :]
+    uv = interpolate_uv(scene, prim, u, v)
+    texel, has = fetch_texel(scene.texel_pool, rec, uv)
+    ncol = _decode_normal(texel)
+
+    # tangent frame from world edges + uv deltas (Core/Scene.cpp:93-103)
+    e1 = _take(scene.tri_e1, prim)
+    e2 = _take(scene.tri_e2, prim)
+    uv0 = _take(scene.corner_uv, c0)
+    duv1 = _take(scene.corner_uv, c0 + 1) - uv0
+    duv2 = _take(scene.corner_uv, c0 + 2) - uv0
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    t = normalize(inv_det[..., None] * (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2))
+    b = normalize(inv_det[..., None] * (-duv2[..., 0:1] * e1 + duv1[..., 0:1] * e2))
+    nw = normalize(n)
+    mapped = normalize(ncol[..., 0:1] * t + ncol[..., 1:2] * b + ncol[..., 2:3] * nw)
+    return jnp.where(has[..., None], mapped, normalize(n))
+
+
+def material_at_hit(scene, prim, u, v) -> MaterialProperties:
+    """Material fetch (Scene::GetMaterialBRDF, Core/Scene.cpp:140-218)."""
+    model = _take(scene.prim_model, prim)
+    uv = interpolate_uv(scene, prim, u, v)
+    recs = _take(scene.tex_record, model)          # (..., 4, 3)
+
+    albedo_texel, has_albedo = fetch_texel(scene.texel_pool, recs[..., TEX_ALBEDO, :], uv)
+    base_tex = srgb_to_linear(_decode_rgb(albedo_texel))
+    base = jnp.where(has_albedo[..., None], base_tex, _take(scene.mat_base, model))
+
+    rma_texel, has_rma = fetch_texel(scene.texel_pool, recs[..., TEX_RMA, :], uv)
+    rma = _decode_rgb(rma_texel)
+    rough = jnp.where(has_rma, rma[..., 1], _take(scene.mat_rough, model))
+    metal = jnp.where(has_rma, rma[..., 2], _take(scene.mat_metal, model))
+
+    emis_texel, has_emis = fetch_texel(scene.texel_pool, recs[..., TEX_EMISSION, :], uv)
+    emissive = jnp.where(has_emis[..., None], _decode_rgb(emis_texel),
+                         _take(scene.mat_emissive, model))
+
+    return MaterialProperties(
+        base_color=base, metalness=metal, emissive=emissive, roughness=rough,
+        transmissivness=_take(scene.mat_transmissive, model),
+        reflectance=_take(scene.mat_reflectance, model),
+        opacity=_take(scene.mat_opacity, model))

@@ -1,0 +1,189 @@
+"""Scene assembly: models + instances -> device-resident SceneData.
+
+TPU-native re-design of the reference's Scene/Model/GameObject stack
+(Core/Scene.cpp, Core/Model.cpp, Core/GameObject.cpp). Key departure
+(SURVEY.md §7): instead of a per-frame TLAS over BLAS instances, static
+scenes bake instance transforms into world space on the host and build ONE
+flattened BVH — single-level traversal is far cheaper on a lockstep vector
+machine, and physics-driven per-frame instance motion is out of scope
+(BASELINE.json). `rebuild()` re-bakes when transforms change (the analogue of
+Scene::BuildTLAS, Core/Scene.cpp:220-223).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from physically_based_ray_tracer_tpu.bvh.builder import build_bvh, bvh_depth
+from physically_based_ray_tracer_tpu.bvh.types import BVHArrays
+from physically_based_ray_tracer_tpu.scene.lights import LightSet
+from physically_based_ray_tracer_tpu.utils.math import (compose_trs,
+                                                        inverse_transpose_3x3,
+                                                        transform_points,
+                                                        transform_vectors)
+
+
+@dataclass
+class MeshModel:
+    """Host-side model: fat corner arrays + material + optional textures.
+
+    Mirror of Model (Core/Model.h): ``corners`` is the de-indexed (3T, 3)
+    triangle-corner array (Core/Model.cpp:25-48), textures are packed uint32
+    ARGB rasters like the reference's Surface pixels.
+    """
+
+    corners: np.ndarray                      # (3T, 3) f32
+    normals: np.ndarray                      # (3T, 3) f32
+    uvs: np.ndarray                          # (3T, 2) f32
+    face_normals: np.ndarray                 # (T, 3) f32
+    name: str = "model"
+    base_color: tuple = (0.8, 0.8, 0.8)
+    metalness: float = 0.0
+    roughness: float = 0.5
+    emissive: tuple = (0.0, 0.0, 0.0)
+    transmissivness: float = 0.0
+    reflectance: float = 0.5
+    opacity: float = 1.0
+    albedo_texture: Optional[np.ndarray] = None    # (H, W) uint32 ARGB
+    normal_texture: Optional[np.ndarray] = None
+    rma_texture: Optional[np.ndarray] = None
+    emission_texture: Optional[np.ndarray] = None
+
+    @property
+    def n_tris(self) -> int:
+        return self.corners.shape[0] // 3
+
+    @staticmethod
+    def from_fat(fat, **kw) -> "MeshModel":
+        corners, normals, uvs, face_normals = fat
+        return MeshModel(corners=corners, normals=normals, uvs=uvs,
+                         face_normals=face_normals, **kw)
+
+
+@dataclass
+class Instance:
+    """GameObject analogue: model index + TRS (Core/GameObject.cpp:55-69)."""
+
+    model: int
+    position: tuple = (0.0, 0.0, 0.0)
+    rotation: tuple = (0.0, 0.0, 0.0)   # Euler radians (JSON stores degrees? see serialization)
+    scale: tuple = (1.0, 1.0, 1.0)
+    name: str = "object"
+
+    @property
+    def transform(self) -> np.ndarray:
+        return compose_trs(self.position, self.rotation, self.scale)
+
+
+class SceneData(NamedTuple):
+    """Everything the integrator needs, as device arrays (replicated per chip)."""
+
+    bvh: BVHArrays
+    # original-order world-space geometry (for shading + differentiable refine)
+    tri_v0: jnp.ndarray        # (P, 3)
+    tri_e1: jnp.ndarray        # (P, 3)
+    tri_e2: jnp.ndarray        # (P, 3)
+    face_normal: jnp.ndarray   # (P, 3) world, normalized
+    corner_normal: jnp.ndarray  # (3P, 3) world
+    corner_uv: jnp.ndarray     # (3P, 2)
+    prim_model: jnp.ndarray    # (P,) i32
+    prim_inst: jnp.ndarray     # (P,) i32
+    # per-model material table
+    mat_base: jnp.ndarray         # (M, 3)
+    mat_metal: jnp.ndarray        # (M,)
+    mat_rough: jnp.ndarray        # (M,)
+    mat_emissive: jnp.ndarray     # (M, 3)
+    mat_transmissive: jnp.ndarray  # (M,)
+    mat_reflectance: jnp.ndarray  # (M,)
+    mat_opacity: jnp.ndarray      # (M,)
+    tex_record: jnp.ndarray       # (M, 4, 3) i32: offset(-1=none), width, height
+    texel_pool: jnp.ndarray       # (K,) uint32
+    lights: LightSet
+    sky: jnp.ndarray              # (Hs, Ws, 3) f32; (1,1,3) zeros if absent
+
+    @property
+    def n_prims(self):
+        return self.tri_v0.shape[0]
+
+
+def build_scene(models: list[MeshModel], instances: list[Instance],
+                lights: LightSet | None = None, sky: np.ndarray | None = None,
+                leaf_size: int = 4) -> tuple[SceneData, int]:
+    """Bake instances to world space, build the flattened BVH, upload.
+
+    Returns (scene_data, bvh_depth) — the depth feeds the static traversal
+    stack bound.
+    """
+    all_corners, all_normals, all_uvs, all_face_n = [], [], [], []
+    prim_model, prim_inst = [], []
+    for inst_id, inst in enumerate(instances):
+        mdl = models[inst.model]
+        m = inst.transform
+        nrm_m = inverse_transpose_3x3(m)
+        wc = transform_points(m, mdl.corners)
+        wn = mdl.normals @ nrm_m.T
+        wn /= np.maximum(np.linalg.norm(wn, axis=1, keepdims=True), 1e-20)
+        wf = mdl.face_normals @ nrm_m.T
+        wf /= np.maximum(np.linalg.norm(wf, axis=1, keepdims=True), 1e-20)
+        all_corners.append(wc.astype(np.float32))
+        all_normals.append(wn.astype(np.float32))
+        all_uvs.append(mdl.uvs.astype(np.float32))
+        all_face_n.append(wf.astype(np.float32))
+        prim_model.append(np.full(mdl.n_tris, inst.model, np.int32))
+        prim_inst.append(np.full(mdl.n_tris, inst_id, np.int32))
+
+    corners = np.concatenate(all_corners)
+    tri = corners.reshape(-1, 3, 3)
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - v0
+    e2 = tri[:, 2] - v0
+
+    bvh = build_bvh(tri, leaf_size=leaf_size)
+    depth = bvh_depth(bvh)
+
+    # texture pool
+    pool_parts: list[np.ndarray] = []
+    tex_record = np.full((len(models), 4, 3), -1, np.int32)
+    offset = 0
+    for mi, mdl in enumerate(models):
+        for ki, raster in enumerate([mdl.albedo_texture, mdl.normal_texture,
+                                     mdl.rma_texture, mdl.emission_texture]):
+            if raster is None:
+                continue
+            r = np.ascontiguousarray(raster, np.uint32)
+            h, w = r.shape
+            tex_record[mi, ki] = (offset, w, h)
+            pool_parts.append(r.reshape(-1))
+            offset += w * h
+    texel_pool = (np.concatenate(pool_parts) if pool_parts
+                  else np.zeros((1,), np.uint32))
+
+    if sky is None:
+        sky = np.zeros((1, 1, 3), np.float32)
+
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    data = SceneData(
+        bvh=bvh.to_device(),
+        tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2),
+        face_normal=f32(np.concatenate(all_face_n)),
+        corner_normal=f32(np.concatenate(all_normals)),
+        corner_uv=f32(np.concatenate(all_uvs)),
+        prim_model=jnp.asarray(np.concatenate(prim_model)),
+        prim_inst=jnp.asarray(np.concatenate(prim_inst)),
+        mat_base=f32([m.base_color for m in models]),
+        mat_metal=f32([m.metalness for m in models]),
+        mat_rough=f32([m.roughness for m in models]),
+        mat_emissive=f32([m.emissive for m in models]),
+        mat_transmissive=f32([m.transmissivness for m in models]),
+        mat_reflectance=f32([m.reflectance for m in models]),
+        mat_opacity=f32([m.opacity for m in models]),
+        tex_record=jnp.asarray(tex_record),
+        texel_pool=jnp.asarray(texel_pool),
+        lights=(lights if lights is not None else LightSet.make()),
+        sky=f32(sky),
+    )
+    return data, depth
