@@ -20,7 +20,7 @@
 namespace {
 
 constexpr int BINS = 8;
-constexpr int LEAF_COUNT_BITS = 4;
+constexpr int LEAF_COUNT_BITS = 7;
 constexpr int LEAF_COUNT_MASK = (1 << LEAF_COUNT_BITS) - 1;
 
 struct V3 {

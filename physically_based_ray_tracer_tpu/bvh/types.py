@@ -19,7 +19,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_COUNT_BITS = 4
+# 7 bits of leaf count: packet traversal wants fat leaves (16-64 tris) so
+# each leaf visit is one productive dense (tile x leaf) intersection batch
+LEAF_COUNT_BITS = 7
 LEAF_COUNT_MASK = (1 << LEAF_COUNT_BITS) - 1
 
 

@@ -106,8 +106,11 @@ class RenderConfig:
     # Deviation switches (all default to reference-faithful behaviour):
     exact_point_falloff: bool = False  # reference uses color/dist (not 1/d^2) for point lights
     chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame
+    traversal: str = "packet"          # "packet" (tile-shared stack) | "lane" (per-ray stack)
+    packet_tile: int = 256             # rays per packet tile
+    pixel_order: str = "morton"        # "morton" (square coherent tiles) | "scanline"
     max_stack_depth: int = 48          # traversal stack bound (TPU-side, static)
-    leaf_size: int = 4                 # max tris per BVH leaf (mirrors BVHTri4Leaf)
+    leaf_size: int = 16                # tris per BVH leaf (packet traversal wants fat leaves)
     dtype: str = "float32"
 
     @property

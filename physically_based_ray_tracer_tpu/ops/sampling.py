@@ -23,9 +23,10 @@ def sample_hemisphere_cosine(u: jnp.ndarray):
     Mirrors BRDF::sampleHemisphere (Core/BRDF.cpp:62-76): dir z = sqrt(1-u1),
     pdf = z/pi.
     """
-    a = jnp.sqrt(u[..., 0])
+    a = jnp.sqrt(jnp.maximum(u[..., 0], 1e-12))
     b = TWO_PI * u[..., 1]
-    d = jnp.stack([a * jnp.cos(b), a * jnp.sin(b), jnp.sqrt(1.0 - u[..., 0])], axis=-1)
+    d = jnp.stack([a * jnp.cos(b), a * jnp.sin(b),
+                   jnp.sqrt(jnp.maximum(1.0 - u[..., 0], 1e-12))], axis=-1)
     return d, d[..., 2] * ONE_OVER_PI
 
 
@@ -49,15 +50,15 @@ def sample_ggx_vndf_heitz(ve: jnp.ndarray, alpha2d: jnp.ndarray, u: jnp.ndarray)
     )
     t2 = cross(vh, t1)
 
-    r = jnp.sqrt(u[..., 0])
+    r = jnp.sqrt(jnp.maximum(u[..., 0], 1e-12))
     phi = TWO_PI * u[..., 1]
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = lerp(jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)), p2, s)
+    p2 = lerp(jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 1e-12)), p2, s)
 
     nh = (p1[..., None] * t1 + p2[..., None] * t2
-          + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh)
+          + jnp.sqrt(jnp.maximum(1e-12, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh)
     return normalize(jnp.stack(
         [ax * nh[..., 0], ay * nh[..., 1], jnp.maximum(0.0, nh[..., 2])], axis=-1))
 
@@ -69,7 +70,7 @@ def sample_ggx_vndf_spherical_caps(ve: jnp.ndarray, alpha2d: jnp.ndarray, u: jnp
     vh = normalize(jnp.stack([ax * ve[..., 0], ay * ve[..., 1], ve[..., 2]], axis=-1))
     phi = TWO_PI * u[..., 0]
     z = (1.0 - u[..., 1]) * (1.0 + vh[..., 2]) - vh[..., 2]
-    sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 1e-12, 1.0))
     nh = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), z], axis=-1) + vh
     return normalize(jnp.stack(
         [ax * nh[..., 0], ay * nh[..., 1], jnp.maximum(0.0, nh[..., 2])], axis=-1))
@@ -85,7 +86,7 @@ def sample_ggx_walter(vlocal: jnp.ndarray, alpha2d: jnp.ndarray, u: jnp.ndarray)
     a2 = alpha * alpha
     cos2 = (1.0 - u[..., 0]) / ((a2 - 1.0) * u[..., 0] + 1.0)
     cos_t = jnp.sqrt(cos2)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos2, 1e-12))
     phi = TWO_PI * u[..., 1]
     return normalize(jnp.stack(
         [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1))
@@ -98,7 +99,7 @@ def sample_beckmann_walter(vlocal: jnp.ndarray, alpha2d: jnp.ndarray, u: jnp.nda
     tan2 = -(alpha * alpha) * jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-30))
     phi = TWO_PI * u[..., 1]
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     return normalize(jnp.stack(
         [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1))
 

@@ -91,19 +91,23 @@ def intersect_closest(bvh: BVHArrays, o, d, t_max=None, *,
         internal_next = jnp.where(near_hit, near, jnp.where(far_hit, far, DONE))
         push = both & active & ~is_leaf
 
-        # ---- leaf step -----------------------------------------------------
+        # ---- leaf step: one (B, K) gather + vectorised MT ------------------
         first, count = _leaf_decode(jnp.where(is_leaf, cur, -1))
-        lt, lu, lv, lp = t, u, v, prim
-        for k in range(leaf_size):
-            slot = jnp.where(is_leaf, first + k, 0)
-            rows = _gather_rows(bvh.tris, slot)               # (B, 9)
-            kt, ku, kv, khit = intersect_tri(
-                o, d, rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], lt)
-            take = khit & is_leaf & active & (k < count)
-            lt = jnp.where(take, kt, lt)
-            lu = jnp.where(take, ku, lu)
-            lv = jnp.where(take, kv, lv)
-            lp = jnp.where(take, slot, lp)
+        slots = first[:, None] + jnp.arange(leaf_size)[None, :]
+        rows = _gather_rows(bvh.tris, jnp.where(is_leaf[:, None], slots, 0))
+        kt, ku, kv, khit = intersect_tri(
+            o[:, None, :], d[:, None, :],
+            rows[:, :, 0:3], rows[:, :, 3:6], rows[:, :, 6:9], t[:, None])
+        kvalid = khit & (jnp.arange(leaf_size)[None, :] < count[:, None]) \
+            & (is_leaf & active)[:, None]
+        kt = jnp.where(kvalid, kt, jnp.float32(1e30))
+        kbest = jnp.argmin(kt, axis=1)
+        kt_b = jnp.take_along_axis(kt, kbest[:, None], axis=1)[:, 0]
+        take = kt_b < t
+        lt = jnp.where(take, kt_b, t)
+        lu = jnp.where(take, jnp.take_along_axis(ku, kbest[:, None], axis=1)[:, 0], u)
+        lv = jnp.where(take, jnp.take_along_axis(kv, kbest[:, None], axis=1)[:, 0], v)
+        lp = jnp.where(take, first + kbest, prim)
 
         # ---- merge + stack ------------------------------------------------
         nxt = jnp.where(is_leaf, DONE, internal_next)
@@ -172,13 +176,14 @@ def intersect_any(bvh: BVHArrays, o, d, t_max, *,
         push = both & active & ~is_leaf
 
         first, count = _leaf_decode(jnp.where(is_leaf, cur, -1))
-        occ = occluded
-        for k in range(leaf_size):
-            slot = jnp.where(is_leaf, first + k, 0)
-            rows = _gather_rows(bvh.tris, slot)
-            kt, _, _, khit = intersect_tri(
-                o, d, rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], t_max)
-            occ = occ | (khit & is_leaf & active & (k < count))
+        slots = first[:, None] + jnp.arange(leaf_size)[None, :]
+        rows = _gather_rows(bvh.tris, jnp.where(is_leaf[:, None], slots, 0))
+        _, _, _, khit = intersect_tri(
+            o[:, None, :], d[:, None, :],
+            rows[:, :, 0:3], rows[:, :, 3:6], rows[:, :, 6:9], t_max[:, None])
+        kvalid = khit & (jnp.arange(leaf_size)[None, :] < count[:, None]) \
+            & (is_leaf & active)[:, None]
+        occ = occluded | jnp.any(kvalid, axis=1)
 
         nxt = jnp.where(is_leaf, DONE, internal_next)
 
@@ -210,19 +215,29 @@ def intersect_any(bvh: BVHArrays, o, d, t_max, *,
     return occluded
 
 
-def refine_hit(o, d, v0, e1, e2):
+def refine_hit(o, d, v0, e1, e2, mask=None):
     """Differentiable (t, u, v) for a known hit triangle.
 
     Gradients flow through ray origin/direction and triangle vertices (and
     hence through object transforms); hit *topology* stays discrete — the
     detached-sampling estimator of SURVEY.md §7.
+
+    ``mask`` marks lanes with a real hit. Masked-out lanes get sanitised
+    inputs BEFORE the division so their (unused) cotangents can't produce
+    inf*0 = NaN in the backward pass (the classic ``where`` gradient trap).
     """
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
+    if mask is not None:
+        det = jnp.where(mask, det, 1.0)
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
     tvec = o - v0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    if mask is not None:
+        t = jnp.where(mask, t, 0.0)
+        u = jnp.where(mask, u, 0.0)
+        v = jnp.where(mask, v, 0.0)
     return t, u, v

@@ -1,0 +1,540 @@
+"""Packet BVH traversal: one shared stack per ray tile.
+
+The per-lane while-loop traversal (ops/traverse.py) spends its time on
+per-lane gathers — the worst access pattern a TPU has. This module is the
+TPU-native rebuild of tinybvh's coherent packet traversal
+(BVH::Intersect256Rays, Core/tiny_bvh.h:2675-2846) at array scale:
+
+* rays are grouped into tiles of W (default 256); each TILE owns one
+  traversal stack and one current-node cursor — node fetches become
+  (n_tiles,)-wide gathers, W times fewer than per-lane traversal;
+* node culling uses a conservative interval test over the tile's origin
+  box and direction bounds (Wald-style frustum culling generalised to
+  arbitrary ray sets: mixed-sign direction intervals widen to (-inf, inf),
+  so correctness never depends on coherence — only culling quality does);
+* leaf visits test ALL W rays against the leaf's triangles densely on the
+  VPU — exact per-ray Möller-Trumbore, vectorised with no divergence;
+* per-tile t_max pruning uses the max of the lanes' current best hits.
+
+Sorting rays by direction octant + origin Morton code (``morton_order``)
+makes tiles coherent; primary and shadow rays are naturally coherent in
+scanline order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from physically_based_ray_tracer_tpu.bvh.types import BVHArrays, LEAF_COUNT_BITS, LEAF_COUNT_MASK
+from physically_based_ray_tracer_tpu.config import BVH_FAR
+from physically_based_ray_tracer_tpu.ops.intersect import Hit, intersect_tri, safe_rcp
+
+DONE = jnp.int32(0x7FFFFFFF)
+BIG = jnp.float32(1e30)
+
+
+def _leaf_decode(c):
+    m = -(c + 1)
+    return m >> LEAF_COUNT_BITS, m & LEAF_COUNT_MASK
+
+
+def mt_dense(o_t, d_t, rows, t_clip):
+    """Dense Möller-Trumbore, fully fused component math.
+
+    o_t, d_t: (T, W, 3) rays; rows: (T, K, 9) packed (v0, e1, e2) triangles;
+    t_clip: (T, W) current clip distance. Returns (t, u, v, hit) each (T, W, K).
+
+    Written with explicit scalar components (no jnp.cross / stack) so XLA
+    fuses the whole pipeline into one elementwise kernel — the (T, W, K)
+    intermediates never hit HBM. With jnp.cross the concatenates break
+    fusion and each intermediate materializes (hundreds of MB per pass).
+    """
+    ox, oy, oz = (o_t[:, :, None, i] for i in range(3))      # (T, W, 1)
+    dx, dy, dz = (d_t[:, :, None, i] for i in range(3))
+    v0x, v0y, v0z = (rows[:, None, :, i] for i in range(3))  # (T, 1, K)
+    e1x, e1y, e1z = (rows[:, None, :, 3 + i] for i in range(3))
+    e2x, e2y, e2z = (rows[:, None, :, 6 + i] for i in range(3))
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > 0.0) & (t < t_clip[:, :, None]))
+    return t, u, v, hit
+
+
+def _gather_rows(arr, idx):
+    return jnp.take(arr, idx, axis=0, mode="clip")
+
+
+def _interval_slab(box, o_lo, o_hi, rd_lo, rd_hi, t_max_tile):
+    """Conservative tile-vs-AABB test.
+
+    box: (T, 6) child AABB; o_lo/o_hi: (T, 3) tile origin bounds;
+    rd_lo/rd_hi: (T, 3) reciprocal-direction interval (already widened to
+    +/-BIG when the tile's direction interval spans zero).
+    Returns (entry_lower_bound (T,), may_hit (T,)).
+    """
+    bmin = box[:, 0:3]
+    bmax = box[:, 3:6]
+
+    def iprod(a_lo, a_hi, b_lo, b_hi):
+        p1 = a_lo * b_lo
+        p2 = a_lo * b_hi
+        p3 = a_hi * b_lo
+        p4 = a_hi * b_hi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    # t intervals for both slab planes per axis
+    a1_lo = bmin - o_hi
+    a1_hi = bmin - o_lo
+    a2_lo = bmax - o_hi
+    a2_hi = bmax - o_lo
+    t1_lo, t1_hi = iprod(a1_lo, a1_hi, rd_lo, rd_hi)
+    t2_lo, t2_hi = iprod(a2_lo, a2_hi, rd_lo, rd_hi)
+    # per-ray tnear_axis = min(t1,t2) >= min of lower bounds
+    lo_axis = jnp.minimum(t1_lo, t2_lo)       # (T, 3)
+    hi_axis = jnp.maximum(t1_hi, t2_hi)
+    enter_lb = jnp.max(lo_axis, axis=-1)      # lower bound of per-ray tnear
+    exit_ub = jnp.min(hi_axis, axis=-1)       # upper bound of per-ray tfar
+    may_hit = (enter_lb <= exit_ub) & (exit_ub > 0.0) & (enter_lb < t_max_tile)
+    return enter_lb, may_hit
+
+
+def _tile_bounds(o, d):
+    """Per-tile origin box + reciprocal-direction interval. o,d: (T, W, 3)."""
+    o_lo = jnp.min(o, axis=1)
+    o_hi = jnp.max(o, axis=1)
+    d_lo = jnp.min(d, axis=1)
+    d_hi = jnp.max(d, axis=1)
+    spans_zero = (d_lo < 0.0) & (d_hi > 0.0)
+    rd1 = safe_rcp(d_lo)
+    rd2 = safe_rcp(d_hi)
+    rd_lo = jnp.where(spans_zero, -BIG, jnp.minimum(rd1, rd2))
+    rd_hi = jnp.where(spans_zero, BIG, jnp.maximum(rd1, rd2))
+    return o_lo, o_hi, rd_lo, rd_hi
+
+
+def _pad_tiles(o, d, extra, tile):
+    b = o.shape[0]
+    n_tiles = -(-b // tile)
+    pad = n_tiles * tile - b
+    pads = lambda x: [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    # rays padded edge-mode (clones of the last ray) so the last tile's
+    # conservative bounds aren't inflated; their t_max pads to 0 (inactive)
+    o = jnp.pad(o, pads(o), mode="edge").reshape(n_tiles, tile, 3)
+    d = jnp.pad(d, pads(d), mode="edge").reshape(n_tiles, tile, 3)
+    extra = [jnp.pad(x, pads(x), constant_values=0) for x in extra]
+    extra = [x.reshape((n_tiles, tile) + x.shape[1:]) for x in extra]
+    return o, d, extra, b, n_tiles
+
+
+def intersect_closest_packet(bvh: BVHArrays, o, d, t_max=None, *,
+                             tile: int = 256, stack_depth: int = 48,
+                             leaf_size: int = 4) -> Hit:
+    """Closest-hit packet traversal. o, d: (B, 3); returns per-ray Hit."""
+    B0 = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((B0,), BVH_FAR, o.dtype)
+    o_t, d_t, (tmax_t,), b, T = _pad_tiles(o, d, [t_max], tile)
+    # padded lanes: t_max 0 -> they never hit and never widen pruning? note
+    # tile t_max is a max over lanes; pad with 0 so they don't widen it.
+    rd_t = safe_rcp(d_t)
+    o_lo, o_hi, rd_lo, rd_hi = _tile_bounds(o_t, d_t)
+
+    def body(state):
+        cur, sp, stack, t, u, v, prim, active = state
+        # t: (T, W) current best; tile pruning distance:
+        t_tile = jnp.max(jnp.minimum(t, tmax_t), axis=1)          # (T,)
+
+        is_leaf = cur < 0
+        node_idx = jnp.where(is_leaf | ~active, 0, cur)
+        box = _gather_rows(bvh.nodes_box, node_idx)               # (T, 12)
+        child = _gather_rows(bvh.nodes_child, node_idx)           # (T, 2)
+        d0, h0 = _interval_slab(box[:, 0:6], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        d1, h1 = _interval_slab(box[:, 6:12], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        c0, c1 = child[:, 0], child[:, 1]
+        e0 = (c0 < 0) & (((-(c0 + 1)) & LEAF_COUNT_MASK) == 0)
+        e1 = (c1 < 0) & (((-(c1 + 1)) & LEAF_COUNT_MASK) == 0)
+        h0 &= ~e0
+        h1 &= ~e1
+        swap = d1 < d0
+        near = jnp.where(swap, c1, c0)
+        far = jnp.where(swap, c0, c1)
+        near_hit = jnp.where(swap, h1, h0)
+        far_hit = jnp.where(swap, h0, h1)
+        both = near_hit & far_hit
+        internal_next = jnp.where(near_hit, near, jnp.where(far_hit, far, DONE))
+        push = both & active & ~is_leaf
+
+        # ---- leaf: dense W x leaf_size Möller-Trumbore -------------------
+        first, count = _leaf_decode(jnp.where(is_leaf, cur, -1))
+        slots = first[:, None] + jnp.arange(leaf_size)[None, :]   # (T, K)
+        rows = _gather_rows(bvh.tris, jnp.where(is_leaf[:, None], slots, 0))
+        # rows: (T, K, 9); broadcast against lanes: (T, W, K)
+        kt, ku, kv, khit = mt_dense(o_t, d_t, rows, jnp.minimum(t, tmax_t))
+        valid = (jnp.arange(leaf_size)[None, None, :] < count[:, None, None]) \
+            & (is_leaf & active)[:, None, None] & khit
+        for k in range(leaf_size):
+            take = valid[:, :, k] & (kt[:, :, k] < jnp.minimum(t, tmax_t))
+            t = jnp.where(take, kt[:, :, k], t)
+            u = jnp.where(take, ku[:, :, k], u)
+            v = jnp.where(take, kv[:, :, k], v)
+            prim = jnp.where(take, first[:, None] + k, prim)
+
+        # ---- stack ---------------------------------------------------------
+        nxt = jnp.where(is_leaf, DONE, internal_next)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+        stack = jnp.where((sidx == sp[:, None]) & push[:, None], far[:, None], stack)
+        sp = sp + jnp.where(push, 1, 0)
+
+        need_pop = (nxt == DONE) & active
+        can_pop = need_pop & (sp > 0)
+        sp_pop = jnp.maximum(sp - 1, 0)
+        top = jnp.take_along_axis(stack, sp_pop[:, None], axis=1)[:, 0]
+        nxt = jnp.where(can_pop, top, nxt)
+        sp = jnp.where(can_pop, sp_pop, sp)
+        active = active & ~(need_pop & ~can_pop)
+        nxt = jnp.where(active, nxt, DONE)
+        return nxt, sp, stack, t, u, v, prim, active
+
+    def cond(state):
+        return jnp.any(state[-1])
+
+    W = tile
+    init = (
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T,), jnp.int32),
+        jnp.full((T, stack_depth), DONE, jnp.int32),
+        jnp.full((T, W), BVH_FAR, o.dtype),
+        jnp.zeros((T, W), o.dtype),
+        jnp.zeros((T, W), o.dtype),
+        jnp.full((T, W), -1, jnp.int32),
+        jnp.ones((T,), bool),
+    )
+    _, _, _, t, u, v, prim_slot, _ = jax.lax.while_loop(cond, body, init)
+
+    t = t.reshape(-1)[:b]
+    u = u.reshape(-1)[:b]
+    v = v.reshape(-1)[:b]
+    prim_slot = prim_slot.reshape(-1)[:b]
+    found = (prim_slot >= 0) & (t < t_max)
+    prim = jnp.where(found, _gather_rows(bvh.prim_index,
+                                         jnp.maximum(prim_slot, 0)), -1)
+    t = jnp.where(found, t, BVH_FAR)
+    return Hit(t=t, u=jnp.where(found, u, 0.0), v=jnp.where(found, v, 0.0),
+               prim=prim, inst=jnp.where(found, 0, -1))
+
+
+def intersect_any_packet(bvh: BVHArrays, o, d, t_max, *,
+                         tile: int = 256, stack_depth: int = 48,
+                         leaf_size: int = 4) -> jnp.ndarray:
+    """Occlusion packet query: True where any hit exists with t in (0, t_max)."""
+    B0 = o.shape[0]
+    o_t, d_t, (tmax_t,), b, T = _pad_tiles(o, d, [t_max], tile)
+    o_lo, o_hi, rd_lo, rd_hi = _tile_bounds(o_t, d_t)
+    W = tile
+
+    def body(state):
+        cur, sp, stack, occ, active = state
+        pending = (~occ) & (tmax_t > 0.0)
+        t_tile = jnp.max(jnp.where(pending, tmax_t, 0.0), axis=1)
+
+        is_leaf = cur < 0
+        node_idx = jnp.where(is_leaf | ~active, 0, cur)
+        box = _gather_rows(bvh.nodes_box, node_idx)
+        child = _gather_rows(bvh.nodes_child, node_idx)
+        _, h0 = _interval_slab(box[:, 0:6], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        _, h1 = _interval_slab(box[:, 6:12], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        c0, c1 = child[:, 0], child[:, 1]
+        e0 = (c0 < 0) & (((-(c0 + 1)) & LEAF_COUNT_MASK) == 0)
+        e1 = (c1 < 0) & (((-(c1 + 1)) & LEAF_COUNT_MASK) == 0)
+        h0 &= ~e0
+        h1 &= ~e1
+        both = h0 & h1
+        internal_next = jnp.where(h0, c0, jnp.where(h1, c1, DONE))
+        push = both & active & ~is_leaf
+
+        first, count = _leaf_decode(jnp.where(is_leaf, cur, -1))
+        slots = first[:, None] + jnp.arange(leaf_size)[None, :]
+        rows = _gather_rows(bvh.tris, jnp.where(is_leaf[:, None], slots, 0))
+        _, _, _, khit = mt_dense(o_t, d_t, rows, tmax_t)
+        valid = (jnp.arange(leaf_size)[None, None, :] < count[:, None, None]) \
+            & (is_leaf & active)[:, None, None] & khit
+        occ = occ | jnp.any(valid, axis=2)
+
+        nxt = jnp.where(is_leaf, DONE, internal_next)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+        stack = jnp.where((sidx == sp[:, None]) & push[:, None], c1[:, None], stack)
+        sp = sp + jnp.where(push, 1, 0)
+
+        need_pop = (nxt == DONE) & active
+        can_pop = need_pop & (sp > 0)
+        sp_pop = jnp.maximum(sp - 1, 0)
+        top = jnp.take_along_axis(stack, sp_pop[:, None], axis=1)[:, 0]
+        nxt = jnp.where(can_pop, top, nxt)
+        sp = jnp.where(can_pop, sp_pop, sp)
+        all_occluded = jnp.all(occ | (tmax_t <= 0.0), axis=1)
+        active = active & ~(need_pop & ~can_pop) & ~all_occluded
+        nxt = jnp.where(active, nxt, DONE)
+        return nxt, sp, stack, occ, active
+
+    def cond(state):
+        return jnp.any(state[-1])
+
+    init = (
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T,), jnp.int32),
+        jnp.full((T, stack_depth), DONE, jnp.int32),
+        jnp.zeros((T, W), bool),
+        jnp.ones((T,), bool),
+    )
+    _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
+    return occ.reshape(-1)[:b]
+
+
+def intersect_closest_wave(bvh: BVHArrays, o, d, t_max=None, *,
+                           tile: int = 256, stack_depth: int = 48,
+                           leaf_size: int = 16, node_steps: int = 8,
+                           leaf_cap: int = 4) -> Hit:
+    """Wave variant of the packet traversal: node-stepping and leaf testing
+    are decoupled so internal-node steps cost only the (cheap) interval math.
+
+    Each outer iteration ("wave") runs ``node_steps`` node-only traversal
+    steps per tile, buffering up to ``leaf_cap`` leaf references, then one
+    dense phase tests every buffered leaf against all lanes. Tiles whose
+    buffer fills mid-wave stall (re-visit the leaf next wave) — correctness
+    never depends on the wave shape, only utilization does. Between waves the
+    per-tile t_max tightens, restoring closest-first pruning.
+    """
+    B0 = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((B0,), BVH_FAR, o.dtype)
+    o_t, d_t, (tmax_t,), b, T = _pad_tiles(o, d, [t_max], tile)
+    rd_t = safe_rcp(d_t)
+    o_lo, o_hi, rd_lo, rd_hi = _tile_bounds(o_t, d_t)
+    W = tile
+
+    def node_step(carry, _):
+        cur, sp, stack, nleaf, leafbuf, t_tile, active = carry
+        is_leaf = cur < 0
+        full = nleaf >= leaf_cap
+        # buffer leaf + pop (unless buffer full: stall in place)
+        lidx = jax.lax.broadcasted_iota(jnp.int32, leafbuf.shape, 1)
+        append = is_leaf & active & ~full
+        leafbuf = jnp.where((lidx == nleaf[:, None]) & append[:, None],
+                            cur[:, None], leafbuf)
+        nleaf = nleaf + jnp.where(append, 1, 0)
+
+        node_idx = jnp.where(is_leaf | ~active, 0, cur)
+        box = _gather_rows(bvh.nodes_box, node_idx)
+        child = _gather_rows(bvh.nodes_child, node_idx)
+        d0, h0 = _interval_slab(box[:, 0:6], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        d1, h1 = _interval_slab(box[:, 6:12], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        c0, c1 = child[:, 0], child[:, 1]
+        e0 = (c0 < 0) & (((-(c0 + 1)) & LEAF_COUNT_MASK) == 0)
+        e1 = (c1 < 0) & (((-(c1 + 1)) & LEAF_COUNT_MASK) == 0)
+        h0 &= ~e0
+        h1 &= ~e1
+        swap = d1 < d0
+        near = jnp.where(swap, c1, c0)
+        far = jnp.where(swap, c0, c1)
+        near_hit = jnp.where(swap, h1, h0)
+        far_hit = jnp.where(swap, h0, h1)
+        both = near_hit & far_hit
+        internal_next = jnp.where(near_hit, near, jnp.where(far_hit, far, DONE))
+        push = both & active & ~is_leaf
+
+        sidx = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+        stack = jnp.where((sidx == sp[:, None]) & push[:, None], far[:, None], stack)
+        sp = sp + jnp.where(push, 1, 0)
+
+        # leaf: pop (appended above) or stall (full); internal: descend/pop
+        nxt = jnp.where(is_leaf, jnp.where(full, cur, DONE), internal_next)
+        need_pop = (nxt == DONE) & active
+        can_pop = need_pop & (sp > 0)
+        sp_pop = jnp.maximum(sp - 1, 0)
+        top = jnp.take_along_axis(stack, sp_pop[:, None], axis=1)[:, 0]
+        nxt = jnp.where(can_pop, top, nxt)
+        sp = jnp.where(can_pop, sp_pop, sp)
+        active = active & ~(need_pop & ~can_pop)
+        nxt = jnp.where(active, nxt, DONE)
+        return (nxt, sp, stack, nleaf, leafbuf, t_tile, active), None
+
+    def wave(state):
+        cur, sp, stack, t, u, v, prim, active = state
+        t_tile = jnp.max(jnp.minimum(t, tmax_t), axis=1)
+        nleaf = jnp.zeros((T,), jnp.int32)
+        leafbuf = jnp.full((T, leaf_cap), -1, jnp.int32)
+        (cur, sp, stack, nleaf, leafbuf, _, active), _ = jax.lax.scan(
+            node_step, (cur, sp, stack, nleaf, leafbuf, t_tile, active),
+            None, length=node_steps)
+
+        # dense phase: every buffered leaf against all lanes
+        for l in range(leaf_cap):
+            code = leafbuf[:, l]
+            has = l < nleaf
+            first, count = _leaf_decode(jnp.where(has, code, -1))
+            slots = first[:, None] + jnp.arange(leaf_size)[None, :]
+            rows = _gather_rows(bvh.tris, jnp.where(has[:, None], slots, 0))
+            kt, ku, kv, khit = mt_dense(o_t, d_t, rows, jnp.minimum(t, tmax_t))
+            valid = (jnp.arange(leaf_size)[None, None, :] < count[:, None, None]) \
+                & has[:, None, None] & khit
+            # unrolled min-chain: pure fused elementwise updates on (T, W) —
+            # no minor-axis argmin/take_along_axis (slow path on TPU)
+            for k in range(leaf_size):
+                take = valid[:, :, k] & (kt[:, :, k] < jnp.minimum(t, tmax_t))
+                t = jnp.where(take, kt[:, :, k], t)
+                u = jnp.where(take, ku[:, :, k], u)
+                v = jnp.where(take, kv[:, :, k], v)
+                prim = jnp.where(take, first[:, None] + k, prim)
+        return cur, sp, stack, t, u, v, prim, active
+
+    def cond(state):
+        return jnp.any(state[-1])
+
+    init = (
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T,), jnp.int32),
+        jnp.full((T, stack_depth), DONE, jnp.int32),
+        jnp.full((T, W), BVH_FAR, o.dtype),
+        jnp.zeros((T, W), o.dtype),
+        jnp.zeros((T, W), o.dtype),
+        jnp.full((T, W), -1, jnp.int32),
+        jnp.ones((T,), bool),
+    )
+    _, _, _, t, u, v, prim_slot, _ = jax.lax.while_loop(cond, wave, init)
+
+    t = t.reshape(-1)[:b]
+    u = u.reshape(-1)[:b]
+    v = v.reshape(-1)[:b]
+    prim_slot = prim_slot.reshape(-1)[:b]
+    found = (prim_slot >= 0) & (t < t_max)
+    prim = jnp.where(found, _gather_rows(bvh.prim_index,
+                                         jnp.maximum(prim_slot, 0)), -1)
+    t = jnp.where(found, t, BVH_FAR)
+    return Hit(t=t, u=jnp.where(found, u, 0.0), v=jnp.where(found, v, 0.0),
+               prim=prim, inst=jnp.where(found, 0, -1))
+
+
+def intersect_any_wave(bvh: BVHArrays, o, d, t_max, *,
+                       tile: int = 256, stack_depth: int = 48,
+                       leaf_size: int = 16, node_steps: int = 8,
+                       leaf_cap: int = 4) -> jnp.ndarray:
+    """Wave occlusion query (see intersect_closest_wave)."""
+    B0 = o.shape[0]
+    o_t, d_t, (tmax_t,), b, T = _pad_tiles(o, d, [t_max], tile)
+    o_lo, o_hi, rd_lo, rd_hi = _tile_bounds(o_t, d_t)
+    W = tile
+
+    def node_step(carry, _):
+        cur, sp, stack, nleaf, leafbuf, t_tile, active = carry
+        is_leaf = cur < 0
+        full = nleaf >= leaf_cap
+        lidx = jax.lax.broadcasted_iota(jnp.int32, leafbuf.shape, 1)
+        append = is_leaf & active & ~full
+        leafbuf = jnp.where((lidx == nleaf[:, None]) & append[:, None],
+                            cur[:, None], leafbuf)
+        nleaf = nleaf + jnp.where(append, 1, 0)
+
+        node_idx = jnp.where(is_leaf | ~active, 0, cur)
+        box = _gather_rows(bvh.nodes_box, node_idx)
+        child = _gather_rows(bvh.nodes_child, node_idx)
+        _, h0 = _interval_slab(box[:, 0:6], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        _, h1 = _interval_slab(box[:, 6:12], o_lo, o_hi, rd_lo, rd_hi, t_tile)
+        c0, c1 = child[:, 0], child[:, 1]
+        e0 = (c0 < 0) & (((-(c0 + 1)) & LEAF_COUNT_MASK) == 0)
+        e1 = (c1 < 0) & (((-(c1 + 1)) & LEAF_COUNT_MASK) == 0)
+        h0 &= ~e0
+        h1 &= ~e1
+        both = h0 & h1
+        internal_next = jnp.where(h0, c0, jnp.where(h1, c1, DONE))
+        push = both & active & ~is_leaf
+
+        sidx = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+        stack = jnp.where((sidx == sp[:, None]) & push[:, None], c1[:, None], stack)
+        sp = sp + jnp.where(push, 1, 0)
+
+        nxt = jnp.where(is_leaf, jnp.where(full, cur, DONE), internal_next)
+        need_pop = (nxt == DONE) & active
+        can_pop = need_pop & (sp > 0)
+        sp_pop = jnp.maximum(sp - 1, 0)
+        top = jnp.take_along_axis(stack, sp_pop[:, None], axis=1)[:, 0]
+        nxt = jnp.where(can_pop, top, nxt)
+        sp = jnp.where(can_pop, sp_pop, sp)
+        active = active & ~(need_pop & ~can_pop)
+        nxt = jnp.where(active, nxt, DONE)
+        return (nxt, sp, stack, nleaf, leafbuf, t_tile, active), None
+
+    def wave(state):
+        cur, sp, stack, occ, active = state
+        pending = (~occ) & (tmax_t > 0.0)
+        t_tile = jnp.max(jnp.where(pending, tmax_t, 0.0), axis=1)
+        nleaf = jnp.zeros((T,), jnp.int32)
+        leafbuf = jnp.full((T, leaf_cap), -1, jnp.int32)
+        (cur, sp, stack, nleaf, leafbuf, _, active), _ = jax.lax.scan(
+            node_step, (cur, sp, stack, nleaf, leafbuf, t_tile, active),
+            None, length=node_steps)
+
+        for l in range(leaf_cap):
+            code = leafbuf[:, l]
+            has = l < nleaf
+            first, count = _leaf_decode(jnp.where(has, code, -1))
+            slots = first[:, None] + jnp.arange(leaf_size)[None, :]
+            rows = _gather_rows(bvh.tris, jnp.where(has[:, None], slots, 0))
+            _, _, _, khit = mt_dense(o_t, d_t, rows, tmax_t)
+            valid = (jnp.arange(leaf_size)[None, None, :] < count[:, None, None]) \
+                & has[:, None, None] & khit
+            occ = occ | jnp.any(valid, axis=2)
+
+        # a tile whose rays are all occluded can retire early
+        all_occ = jnp.all(occ | (tmax_t <= 0.0), axis=1)
+        active = active & ~all_occ
+        return cur, sp, stack, occ, active
+
+    def cond(state):
+        return jnp.any(state[-1])
+
+    init = (
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T,), jnp.int32),
+        jnp.full((T, stack_depth), DONE, jnp.int32),
+        jnp.zeros((T, W), bool),
+        jnp.ones((T,), bool),
+    )
+    _, _, _, occ, _ = jax.lax.while_loop(cond, wave, init)
+    return occ.reshape(-1)[:b]
+
+
+def morton_order(o, d, scene_lo, scene_hi):
+    """Sort key making ray tiles coherent: 3-bit direction octant (major) +
+    interleaved 7-bit-per-axis origin Morton code. Returns the permutation;
+    invert with jnp.argsort(perm) to unsort results."""
+    ext = jnp.maximum(scene_hi - scene_lo, 1e-20)
+    q = jnp.clip(((o - scene_lo) / ext) * 127.0, 0.0, 127.0).astype(jnp.uint32)
+
+    def spread(x):  # interleave 7 bits with stride 3
+        out = jnp.zeros_like(x)
+        for i in range(7):
+            out = out | (((x >> i) & 1) << (3 * i))
+        return out
+
+    morton = spread(q[..., 0]) | (spread(q[..., 1]) << 1) | (spread(q[..., 2]) << 2)
+    octant = ((d[..., 0] > 0).astype(jnp.uint32)
+              | ((d[..., 1] > 0).astype(jnp.uint32) << 1)
+              | ((d[..., 2] > 0).astype(jnp.uint32) << 2))
+    key = (octant << 21) | morton
+    return jnp.argsort(key)

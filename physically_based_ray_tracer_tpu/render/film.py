@@ -37,7 +37,9 @@ def update(film: FilmState, color, primary_t, cfg: RenderConfig,
     matching the reference order (gamma -> accumulate, Core/Renderer.cpp:73-99).
     """
     if cfg.gamma_corrected:
-        color = jnp.sqrt(jnp.maximum(color, 0.0))
+        # double-where keeps sqrt'(0)=inf out of the backward pass
+        pos = color > 0.0
+        color = jnp.where(pos, jnp.sqrt(jnp.where(pos, color, 1.0)), 0.0)
 
     if not cfg.accumulate:
         ones = jnp.ones_like(film.spp)

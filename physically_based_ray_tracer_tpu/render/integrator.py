@@ -47,6 +47,8 @@ from physically_based_ray_tracer_tpu.ops.intersect import Hit
 from physically_based_ray_tracer_tpu.ops.traverse import (intersect_any,
                                                           intersect_closest,
                                                           refine_hit)
+from physically_based_ray_tracer_tpu.ops.traverse_packet import (
+    intersect_any_packet, intersect_closest_packet)
 from physically_based_ray_tracer_tpu.scene.camera import Camera, primary_rays, sample_skybox
 from physically_based_ray_tracer_tpu.scene.lights import sample_area_rect
 from physically_based_ray_tracer_tpu.scene.material import (geometry_normal,
@@ -55,6 +57,36 @@ from physically_based_ray_tracer_tpu.scene.material import (geometry_normal,
 from physically_based_ray_tracer_tpu.utils import rng
 from physically_based_ray_tracer_tpu.utils.math import dot, normalize, reflect, refract
 from physically_based_ray_tracer_tpu.utils.rng import Purpose
+
+
+def _closest(bvh, cfg: RenderConfig, o, d, t_max=None):
+    """Traversal dispatch: "wave" (packet + decoupled dense leaf phase),
+    "packet" (inline leaf tests), or "lane" (per-ray stack)."""
+    if cfg.traversal == "wave":
+        from physically_based_ray_tracer_tpu.ops.traverse_packet import intersect_closest_wave
+        return intersect_closest_wave(bvh, o, d, t_max, tile=cfg.packet_tile,
+                                      stack_depth=cfg.max_stack_depth,
+                                      leaf_size=cfg.leaf_size)
+    if cfg.traversal == "packet":
+        return intersect_closest_packet(bvh, o, d, t_max, tile=cfg.packet_tile,
+                                        stack_depth=cfg.max_stack_depth,
+                                        leaf_size=cfg.leaf_size)
+    return intersect_closest(bvh, o, d, t_max, stack_depth=cfg.max_stack_depth,
+                             leaf_size=cfg.leaf_size)
+
+
+def _anyhit(bvh, cfg: RenderConfig, o, d, t_max):
+    if cfg.traversal == "wave":
+        from physically_based_ray_tracer_tpu.ops.traverse_packet import intersect_any_wave
+        return intersect_any_wave(bvh, o, d, t_max, tile=cfg.packet_tile,
+                                  stack_depth=cfg.max_stack_depth,
+                                  leaf_size=cfg.leaf_size)
+    if cfg.traversal == "packet":
+        return intersect_any_packet(bvh, o, d, t_max, tile=cfg.packet_tile,
+                                    stack_depth=cfg.max_stack_depth,
+                                    leaf_size=cfg.leaf_size)
+    return intersect_any(bvh, o, d, t_max, stack_depth=cfg.max_stack_depth,
+                         leaf_size=cfg.leaf_size)
 
 
 def _light_type_weights(lights):
@@ -128,9 +160,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         sd = sg(ldir.reshape(B * np_, 3))
         # reference quirk: tmax = dist^2 - EPSILON (squared; Core/Renderer.cpp:257)
         tmax = sg(jnp.where(pick_point[:, None], dist_sq - EPSILON, 0.0).reshape(B * np_))
-        occ = intersect_any(bvh_sg, so, sd, tmax,
-                            stack_depth=cfg.max_stack_depth,
-                            leaf_size=cfg.leaf_size).reshape(B, np_)
+        occ = _anyhit(bvh_sg, cfg, so, sd, tmax).reshape(B, np_)
         visible = (~occ) & pick_point[:, None]
         point_contrib = jnp.sum(jnp.where(visible[..., None], contrib, 0.0), axis=1)
         point_contrib = point_contrib / p_point
@@ -192,8 +222,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
         sg = jax.lax.stop_gradient
         so = point + l_dir * EPSILON
-        occ = intersect_any(jax.tree.map(sg, scene.bvh), sg(so), sg(l_dir), sg(t_other),
-                            stack_depth=cfg.max_stack_depth, leaf_size=cfg.leaf_size)
+        occ = _anyhit(jax.tree.map(sg, scene.bvh), cfg, sg(so), sg(l_dir), sg(t_other))
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_dir, v, material, cfg.brdf)
         other = jnp.where(((~occ) & (pick_dir | pick_spot | pick_area))[:, None],
                           bsdf * contrib_other, 0.0)
@@ -222,16 +251,15 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
         o, d, radiance, throughput, alive, primary_t = carry
 
         t_init = jnp.where(alive, BVH_FAR, 0.0)
-        hit = intersect_closest(bvh_sg, sg(o), sg(d), sg(t_init),
-                                stack_depth=cfg.max_stack_depth,
-                                leaf_size=cfg.leaf_size)
+        hit = _closest(bvh_sg, cfg, sg(o), sg(d), sg(t_init))
         # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
+        found = hit.prim >= 0
         rt, ru, rv = refine_hit(o, d,
                                 jnp.take(scene.tri_v0, prim, axis=0, mode="clip"),
                                 jnp.take(scene.tri_e1, prim, axis=0, mode="clip"),
-                                jnp.take(scene.tri_e2, prim, axis=0, mode="clip"))
-        found = hit.prim >= 0
+                                jnp.take(scene.tri_e2, prim, axis=0, mode="clip"),
+                                mask=found)
         hit_t = jnp.where(found, rt, hit.t)
         hit_u = jnp.where(found, ru, 0.0)
         hit_v = jnp.where(found, rv, 0.0)
@@ -312,8 +340,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
 
 def render_aov(scene, cfg: RenderConfig, o, d):
     """Debug AOV views (Core/Renderer.cpp:170-194), evaluated at primary hits."""
-    hit = intersect_closest(scene.bvh, o, d,
-                            stack_depth=cfg.max_stack_depth, leaf_size=cfg.leaf_size)
+    hit = _closest(scene.bvh, cfg, o, d)
     prim = jnp.maximum(hit.prim, 0)
     ok = (hit.prim >= 0)[:, None]
     mode = cfg.rendering_mode

@@ -53,6 +53,26 @@ def render_chunked(scene, cam: Camera, cfg: RenderConfig, key, sample, pixel_ids
     return color.reshape(padded, 3)[:b], t.reshape(padded)[:b]
 
 
+def morton_pixel_order(width: int, height: int) -> np.ndarray:
+    """Pixel ids in Morton (Z-curve) order: packet tiles become square screen
+    blocks instead of scanline strips, which tightens the conservative tile
+    frusta and cuts traversal steps (SURVEY.md §7 octant bucketing)."""
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.uint64)
+
+    def part1by1(x):
+        x &= 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    code = part1by1(xs) | (part1by1(ys) << 1)
+    flat_ids = (ys * width + xs).ravel()
+    order = np.argsort(code.ravel(), kind="stable")
+    return flat_ids[order].astype(np.int32)
+
+
 class Renderer:
     """Host-side convenience wrapper: owns film state, compiles the frame fn."""
 
@@ -63,7 +83,11 @@ class Renderer:
         self.film = film_mod.FilmState.zeros(config.n_pixels)
         self.stats = FrameStats()
         self.sample = 0
-        self._pixel_ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
+        if config.pixel_order == "morton":
+            self._pixel_ids_np = morton_pixel_order(config.width, config.height)
+        else:
+            self._pixel_ids_np = np.arange(config.n_pixels, dtype=np.int32)
+        self._pixel_ids = jnp.asarray(self._pixel_ids_np)
         self._frame = jax.jit(
             functools.partial(frame_fn, cfg=config),
             static_argnames=())
@@ -85,8 +109,13 @@ class Renderer:
             avg = jax.block_until_ready(avg)
         self.sample += 1
         self.stats.update(t.ms, ray_count(self.config, self.config.n_pixels))
+        return self._assemble(np.asarray(avg))
 
-        img = np.asarray(avg).reshape(self.config.height, self.config.width, 3)
+    def _assemble(self, avg_flat: np.ndarray) -> np.ndarray:
+        """Scatter film-order samples back into raster order, post-process."""
+        img_flat = np.empty_like(avg_flat)
+        img_flat[self._pixel_ids_np] = avg_flat
+        img = img_flat.reshape(self.config.height, self.config.width, 3)
         if self.config.post_processed:
             img = np.asarray(post_process(jnp.asarray(img)))
         return np.clip(img, 0.0, 1.0)
@@ -107,7 +136,4 @@ class Renderer:
     def _current_image(self) -> np.ndarray:
         avg = np.asarray(self.film.accum) / np.maximum(
             np.asarray(self.film.spp)[:, None], 1.0)
-        img = avg.reshape(self.config.height, self.config.width, 3)
-        if self.config.post_processed:
-            img = np.asarray(post_process(jnp.asarray(img)))
-        return np.clip(img, 0.0, 1.0)
+        return self._assemble(avg)

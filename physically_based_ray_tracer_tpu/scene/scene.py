@@ -112,7 +112,7 @@ class SceneData(NamedTuple):
 
 def build_scene(models: list[MeshModel], instances: list[Instance],
                 lights: LightSet | None = None, sky: np.ndarray | None = None,
-                leaf_size: int = 4) -> tuple[SceneData, int]:
+                leaf_size: int = 16) -> tuple[SceneData, int]:
     """Bake instances to world space, build the flattened BVH, upload.
 
     Returns (scene_data, bvh_depth) — the depth feeds the static traversal

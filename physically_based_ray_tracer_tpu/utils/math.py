@@ -61,8 +61,10 @@ def refract(d: jnp.ndarray, n: jnp.ndarray, eta: float) -> jnp.ndarray:
     k = 1.0 - eta_ratio * eta_ratio * (1.0 - cos_theta * cos_theta)
     # Reference computes: etaRatio * (d - n * cosTheta) - n*sqrt(k) with
     # cosTheta = |cosi| (replicated verbatim, including its sign convention).
-    refr = eta_ratio * (d - n * cos_theta) - n * jnp.sqrt(jnp.maximum(k, 0.0))
-    return jnp.where(k < 0.0, jnp.zeros_like(d), refr)
+    # sqrt arg sanitised pre-branch so TIR lanes can't emit inf cotangents.
+    k_safe = jnp.where(k > 0.0, k, 1.0)
+    refr = eta_ratio * (d - n * cos_theta) - n * jnp.sqrt(k_safe)
+    return jnp.where(k <= 0.0, jnp.zeros_like(d), refr)
 
 
 # ---------------------------------------------------------------------------

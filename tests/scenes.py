@@ -10,8 +10,11 @@ from physically_based_ray_tracer_tpu.scene.procedural import (make_cornell_walls
                                                               make_quad, make_sphere)
 from physically_based_ray_tracer_tpu.scene.scene import Instance, MeshModel, build_scene
 
+# packet_tile=64 so per-shard pixel counts (1024/8 = 128) stay tile-aligned:
+# sharded and unsharded runs then group rays into identical packets and stay
+# bit-identical (see parallel/shard.py docstring)
 TINY = RenderConfig(width=32, height=32, bounces=2, antialias=False,
-                    skybox=False, max_stack_depth=24)
+                    skybox=False, max_stack_depth=24, packet_tile=64)
 
 
 def sphere_scene(lights=None, sky=None, sphere_kw=None):

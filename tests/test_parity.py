@@ -30,8 +30,8 @@ def setup():
     sphere = MeshModel.from_fat(make_sphere(radius=1.0, lat=10, lon=14),
                                 base_color=(0.8, 0.3, 0.2), roughness=0.5,
                                 metalness=0.2)
-    floor = MeshModel.from_fat(
-        make_quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5], [-5, -1.2, 5]),
+    floor = MeshModel.from_fat(  # wound so the normal points up (+y)
+        make_quad([-5, -1.2, -5], [-5, -1.2, 5], [5, -1.2, 5], [5, -1.2, -5]),
         base_color=(0.5, 0.6, 0.7), roughness=0.9)
     lights = LightSet.make(dir_pos=[[4, 6, 3]], dir_color=[[2.0, 1.9, 1.7]])
     scene, _ = build_scene([sphere, floor], [Instance(0), Instance(1)], lights)
@@ -51,11 +51,18 @@ def setup():
         np.asarray(cam_pos, float), np.asarray(cam_target, float), W, H,
         tris, corner_n, base, metal, rough,
         dir_pos=[4, 6, 3], dir_color=[2.0, 1.9, 1.7])
-    return scene, cam, ref
+    # oracle HIT mask (independent of lighting) for the AOV comparison
+    hitmask = np.zeros((H, W), bool)
+    for y in range(H):
+        for x in range(W):
+            o, d = oracle.primary_ray(np.asarray(cam_pos, float),
+                                      np.asarray(cam_target, float), W, H, x, y)
+            hitmask[y, x] = oracle.intersect_all(o, d, tris)[3] >= 0
+    return scene, cam, ref, hitmask
 
 
 def test_image_allclose_to_oracle(setup):
-    scene, cam, ref = setup
+    scene, cam, ref, _ = setup
     img = Renderer(scene, cam, CFG).tick(jax.random.key(0))
     # f32 vs f64, epsilon-offset shadow rays at silhouettes: allow a few
     # boundary pixels to differ, everything else tight
@@ -66,12 +73,10 @@ def test_image_allclose_to_oracle(setup):
 
 
 def test_aov_depth_matches_oracle_hits(setup):
-    scene, cam, ref = setup
+    scene, cam, ref, hitmask = setup
     from physically_based_ray_tracer_tpu.config import RenderMode
     img = Renderer(scene, cam, CFG.replace(rendering_mode=RenderMode.BASECOLOR,
                                            gamma_corrected=False)).tick()
-    # wherever the oracle shaded something, the AOV must be non-black
-    lit = ref.sum(axis=-1) > 0
     aov = img.sum(axis=-1) > 0
-    agree = (lit == aov).mean()
+    agree = (hitmask == aov).mean()
     assert agree > 0.97, f"hit masks agree only {agree:.3%}"
