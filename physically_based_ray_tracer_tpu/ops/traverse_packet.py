@@ -115,16 +115,28 @@ def _interval_slab(box, o_lo, o_hi, rd_lo, rd_hi, t_max_tile):
 
 
 def _tile_bounds(o, d):
-    """Per-tile origin box + reciprocal-direction interval. o,d: (T, W, 3)."""
+    """Per-tile origin box + reciprocal-direction interval. o,d: (T, W, 3).
+
+    The reciprocal of a direction interval [a, b] must respect the pole at 0:
+      a > 0          -> [1/b, 1/a]
+      b < 0          -> [1/b, 1/a]
+      a == 0, b > 0  -> [1/b, +BIG]       (rays arbitrarily slow, same sign)
+      a < 0, b == 0  -> [-BIG, 1/a]
+      a < 0 < b      -> [-BIG, +BIG]      (mixed signs: no useful bound)
+    Naively min/maxing 1/a, 1/b gets the sign wrong at the zero boundary and
+    makes the conservative slab test REJECT nodes that contain real hits.
+    """
     o_lo = jnp.min(o, axis=1)
     o_hi = jnp.max(o, axis=1)
     d_lo = jnp.min(d, axis=1)
     d_hi = jnp.max(d, axis=1)
-    spans_zero = (d_lo < 0.0) & (d_hi > 0.0)
-    rd1 = safe_rcp(d_lo)
-    rd2 = safe_rcp(d_hi)
-    rd_lo = jnp.where(spans_zero, -BIG, jnp.minimum(rd1, rd2))
-    rd_hi = jnp.where(spans_zero, BIG, jnp.maximum(rd1, rd2))
+    rd_a = safe_rcp(d_lo)
+    rd_b = safe_rcp(d_hi)
+    same_sign = (d_lo > 0.0) | (d_hi < 0.0)
+    rd_lo = jnp.where(same_sign, rd_b,
+                      jnp.where((d_lo == 0.0) & (d_hi > 0.0), rd_b, -BIG))
+    rd_hi = jnp.where(same_sign, rd_a,
+                      jnp.where((d_hi == 0.0) & (d_lo < 0.0), rd_a, BIG))
     return o_lo, o_hi, rd_lo, rd_hi
 
 

@@ -154,13 +154,17 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
         sg = jax.lax.stop_gradient
         bvh_sg = jax.tree.map(sg, scene.bvh)
-        # all NP shadow rays in one flattened occlusion pass (frame chunking
-        # in render/renderer.py bounds the live (B*NP,) traversal state)
-        so = sg((point[:, None, :] + ldir * EPSILON).reshape(B * np_, 3))
-        sd = sg(ldir.reshape(B * np_, 3))
+        # all NP shadow rays in one flattened occlusion pass, LIGHT-major so
+        # each packet tile shares one light (coherent directions); frame
+        # chunking in render/renderer.py bounds the live (NP*B,) state
+        so = sg(jnp.swapaxes(point[:, None, :] + ldir * EPSILON, 0, 1)
+                .reshape(np_ * B, 3))
+        sd = sg(jnp.swapaxes(ldir, 0, 1).reshape(np_ * B, 3))
         # reference quirk: tmax = dist^2 - EPSILON (squared; Core/Renderer.cpp:257)
-        tmax = sg(jnp.where(pick_point[:, None], dist_sq - EPSILON, 0.0).reshape(B * np_))
-        occ = _anyhit(bvh_sg, cfg, so, sd, tmax).reshape(B, np_)
+        tmax = sg(jnp.swapaxes(
+            jnp.where(pick_point[:, None], dist_sq - EPSILON, 0.0), 0, 1)
+            .reshape(np_ * B))
+        occ = jnp.swapaxes(_anyhit(bvh_sg, cfg, so, sd, tmax).reshape(np_, B), 0, 1)
         visible = (~occ) & pick_point[:, None]
         point_contrib = jnp.sum(jnp.where(visible[..., None], contrib, 0.0), axis=1)
         point_contrib = point_contrib / p_point

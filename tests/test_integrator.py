@@ -142,3 +142,21 @@ def test_nonstochastic_uses_directional_only(scene_cam):
     scene, cam = scene_cam
     img = Renderer(scene, cam, TINY.replace(stochastic_lights=False)).tick()
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_pixel_order_invariance(scene_cam):
+    """Morton vs scanline pixel order must produce the same image (RNG is
+    keyed by global pixel id; traversal tiling never changes ray results)."""
+    scene, cam = scene_cam
+    img_m = Renderer(scene, cam, TINY.replace(pixel_order="morton")).tick()
+    img_s = Renderer(scene, cam, TINY.replace(pixel_order="scanline")).tick()
+    np.testing.assert_allclose(img_m, img_s, atol=1e-6)
+
+
+def test_traversal_mode_equivalence(scene_cam):
+    """wave / packet / lane traversals must render the same image."""
+    scene, cam = scene_cam
+    imgs = {m: Renderer(scene, cam, TINY.replace(traversal=m)).tick()
+            for m in ("wave", "packet", "lane")}
+    np.testing.assert_allclose(imgs["wave"], imgs["packet"], atol=1e-5)
+    np.testing.assert_allclose(imgs["wave"], imgs["lane"], atol=1e-5)
