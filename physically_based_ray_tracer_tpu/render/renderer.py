@@ -39,17 +39,37 @@ def frame_fn(scene, cam: Camera, film: film_mod.FilmState,
     return new_film, avg
 
 
+def _render_spp(scene, cam: Camera, cfg: RenderConfig, key, sample, pixel_ids):
+    """render_sample averaged over cfg.samples_per_pixel in-frame samples
+    (a lax.scan so the compiled graph holds ONE copy of the integrator)."""
+    spp = max(1, cfg.samples_per_pixel)
+    if spp == 1:
+        return render_sample(scene, cam, cfg, key, sample, pixel_ids)
+
+    def body(carry, s):
+        acc, t0 = carry
+        c, t = render_sample(scene, cam, cfg, key, sample * spp + s, pixel_ids)
+        t0 = jnp.where(s == 0, t, t0)
+        return (acc + c, t0), None
+
+    b = pixel_ids.shape[0]
+    (acc, t0), _ = jax.lax.scan(
+        body, (jnp.zeros((b, 3), jnp.float32), jnp.zeros((b,), jnp.float32)),
+        jnp.arange(spp))
+    return acc / spp, t0
+
+
 def render_chunked(scene, cam: Camera, cfg: RenderConfig, key, sample, pixel_ids):
-    """render_sample over sequential chunks; returns (color (B,3), t (B,))."""
+    """_render_spp over sequential chunks; returns (color (B,3), t (B,))."""
     b = pixel_ids.shape[0]
     if b <= cfg.chunk_pixels:
-        return render_sample(scene, cam, cfg, key, sample, pixel_ids)
+        return _render_spp(scene, cam, cfg, key, sample, pixel_ids)
     n_chunks = -(-b // cfg.chunk_pixels)
     chunk = -(-b // n_chunks)
     padded = chunk * n_chunks
     ids = jnp.pad(pixel_ids, (0, padded - b), mode="edge").reshape(n_chunks, chunk)
     color, t = jax.lax.map(
-        lambda c_ids: render_sample(scene, cam, cfg, key, sample, c_ids), ids)
+        lambda c_ids: _render_spp(scene, cam, cfg, key, sample, c_ids), ids)
     return color.reshape(padded, 3)[:b], t.reshape(padded)[:b]
 
 

@@ -160,3 +160,17 @@ def test_traversal_mode_equivalence(scene_cam):
             for m in ("wave", "packet", "lane")}
     np.testing.assert_allclose(imgs["wave"], imgs["packet"], atol=1e-5)
     np.testing.assert_allclose(imgs["wave"], imgs["lane"], atol=1e-5)
+
+
+def test_samples_per_pixel_reduces_variance(scene_cam):
+    """spp=4 in-frame averaging must cut noise vs spp=1 (same seed)."""
+    scene, cam = scene_cam
+    cfg1 = TINY.replace(gamma_corrected=False)
+    cfg4 = TINY.replace(gamma_corrected=False, samples_per_pixel=4)
+    img1a = Renderer(scene, cam, cfg1).tick(jax.random.key(0))
+    img1b = Renderer(scene, cam, cfg1).tick(jax.random.key(99))
+    img4a = Renderer(scene, cam, cfg4).tick(jax.random.key(0))
+    img4b = Renderer(scene, cam, cfg4).tick(jax.random.key(99))
+    noise1 = np.abs(img1a - img1b).mean()
+    noise4 = np.abs(img4a - img4b).mean()
+    assert noise4 < noise1
