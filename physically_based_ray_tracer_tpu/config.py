@@ -107,6 +107,7 @@ class RenderConfig:
     exact_point_falloff: bool = False  # reference uses color/dist (not 1/d^2) for point lights
     chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame
     traversal: str = "wave"            # "wave" | "packet" | "lane" (see ops/traverse*)
+    sort_rays: bool = True             # octant+Morton sort of bounce/shadow wavefronts
     packet_tile: int = 256             # rays per packet tile
     pixel_order: str = "morton"        # "morton" (square coherent tiles) | "scanline"
     max_stack_depth: int = 48          # traversal stack bound (TPU-side, static)

@@ -550,3 +550,42 @@ def morton_order(o, d, scene_lo, scene_hi):
               | ((d[..., 2] > 0).astype(jnp.uint32) << 2))
     key = (octant << 21) | morton
     return jnp.argsort(key)
+
+
+def _scene_bounds(bvh: BVHArrays):
+    """Root AABB from node 0 (union of its two child boxes)."""
+    root = bvh.nodes_box[0]
+    lo = jnp.minimum(root[0:3], root[6:9])
+    hi = jnp.maximum(root[3:6], root[9:12])
+    return lo, hi
+
+
+def sorted_closest(fn, bvh: BVHArrays, o, d, t_max=None, **kw) -> Hit:
+    """Run a closest-hit traversal on octant+Morton-sorted rays, unsorting
+    the hits — the batch-scale analogue of tinybvh's per-octant traversal
+    specialisation (Core/tiny_bvh.h:6302-6311). Sorting restores the packet
+    coherence the tile frusta depend on for bounce/shadow wavefronts: a tile
+    of same-octant rays has sign-definite reciprocal-direction intervals, so
+    node culling stays effective for incoherent ray sets."""
+    if t_max is None:
+        t_max = jnp.full((o.shape[0],), BVH_FAR, o.dtype)
+    lo, hi = _scene_bounds(bvh)
+    perm = morton_order(o, d, lo, hi)
+    hit = fn(bvh, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
+             jnp.take(t_max, perm), **kw)
+    n = perm.shape[0]
+    inv = jnp.zeros((n,), perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype))
+    return jax.tree.map(lambda x: jnp.take(x, inv, axis=0), hit)
+
+
+def sorted_any(fn, bvh: BVHArrays, o, d, t_max, **kw) -> jnp.ndarray:
+    """Occlusion variant of sorted_closest."""
+    lo, hi = _scene_bounds(bvh)
+    perm = morton_order(o, d, lo, hi)
+    occ = fn(bvh, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
+             jnp.take(t_max, perm), **kw)
+    n = perm.shape[0]
+    inv = jnp.zeros((n,), perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype))
+    return jnp.take(occ, inv, axis=0)

@@ -59,32 +59,45 @@ from physically_based_ray_tracer_tpu.utils.math import dot, normalize, reflect, 
 from physically_based_ray_tracer_tpu.utils.rng import Purpose
 
 
-def _closest(bvh, cfg: RenderConfig, o, d, t_max=None):
+def _closest(bvh, cfg: RenderConfig, o, d, t_max=None, sort=False):
     """Traversal dispatch: "wave" (packet + decoupled dense leaf phase),
-    "packet" (inline leaf tests), or "lane" (per-ray stack)."""
+    "packet" (inline leaf tests), or "lane" (per-ray stack).
+
+    ``sort=True`` runs the packet/wave variants on octant+Morton-sorted rays
+    (ops/traverse_packet.sorted_closest) — essential for incoherent bounce
+    and shadow wavefronts, skippable for primary rays already in Morton
+    pixel order."""
+    kw = dict(tile=cfg.packet_tile, stack_depth=cfg.max_stack_depth,
+              leaf_size=cfg.leaf_size)
     if cfg.traversal == "wave":
-        from physically_based_ray_tracer_tpu.ops.traverse_packet import intersect_closest_wave
-        return intersect_closest_wave(bvh, o, d, t_max, tile=cfg.packet_tile,
-                                      stack_depth=cfg.max_stack_depth,
-                                      leaf_size=cfg.leaf_size)
+        from physically_based_ray_tracer_tpu.ops.traverse_packet import (
+            intersect_closest_wave, sorted_closest)
+        if sort and cfg.sort_rays:
+            return sorted_closest(intersect_closest_wave, bvh, o, d, t_max, **kw)
+        return intersect_closest_wave(bvh, o, d, t_max, **kw)
     if cfg.traversal == "packet":
-        return intersect_closest_packet(bvh, o, d, t_max, tile=cfg.packet_tile,
-                                        stack_depth=cfg.max_stack_depth,
-                                        leaf_size=cfg.leaf_size)
+        from physically_based_ray_tracer_tpu.ops.traverse_packet import sorted_closest
+        if sort and cfg.sort_rays:
+            return sorted_closest(intersect_closest_packet, bvh, o, d, t_max, **kw)
+        return intersect_closest_packet(bvh, o, d, t_max, **kw)
     return intersect_closest(bvh, o, d, t_max, stack_depth=cfg.max_stack_depth,
                              leaf_size=cfg.leaf_size)
 
 
-def _anyhit(bvh, cfg: RenderConfig, o, d, t_max):
+def _anyhit(bvh, cfg: RenderConfig, o, d, t_max, sort=False):
+    kw = dict(tile=cfg.packet_tile, stack_depth=cfg.max_stack_depth,
+              leaf_size=cfg.leaf_size)
     if cfg.traversal == "wave":
-        from physically_based_ray_tracer_tpu.ops.traverse_packet import intersect_any_wave
-        return intersect_any_wave(bvh, o, d, t_max, tile=cfg.packet_tile,
-                                  stack_depth=cfg.max_stack_depth,
-                                  leaf_size=cfg.leaf_size)
+        from physically_based_ray_tracer_tpu.ops.traverse_packet import (
+            intersect_any_wave, sorted_any)
+        if sort and cfg.sort_rays:
+            return sorted_any(intersect_any_wave, bvh, o, d, t_max, **kw)
+        return intersect_any_wave(bvh, o, d, t_max, **kw)
     if cfg.traversal == "packet":
-        return intersect_any_packet(bvh, o, d, t_max, tile=cfg.packet_tile,
-                                    stack_depth=cfg.max_stack_depth,
-                                    leaf_size=cfg.leaf_size)
+        from physically_based_ray_tracer_tpu.ops.traverse_packet import sorted_any
+        if sort and cfg.sort_rays:
+            return sorted_any(intersect_any_packet, bvh, o, d, t_max, **kw)
+        return intersect_any_packet(bvh, o, d, t_max, **kw)
     return intersect_any(bvh, o, d, t_max, stack_depth=cfg.max_stack_depth,
                          leaf_size=cfg.leaf_size)
 
@@ -164,7 +177,8 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         tmax = sg(jnp.swapaxes(
             jnp.where(pick_point[:, None], dist_sq - EPSILON, 0.0), 0, 1)
             .reshape(np_ * B))
-        occ = jnp.swapaxes(_anyhit(bvh_sg, cfg, so, sd, tmax).reshape(np_, B), 0, 1)
+        occ = jnp.swapaxes(_anyhit(bvh_sg, cfg, so, sd, tmax, sort=True)
+                           .reshape(np_, B), 0, 1)
         visible = (~occ) & pick_point[:, None]
         point_contrib = jnp.sum(jnp.where(visible[..., None], contrib, 0.0), axis=1)
         point_contrib = point_contrib / p_point
@@ -226,7 +240,8 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
         sg = jax.lax.stop_gradient
         so = point + l_dir * EPSILON
-        occ = _anyhit(jax.tree.map(sg, scene.bvh), cfg, sg(so), sg(l_dir), sg(t_other))
+        occ = _anyhit(jax.tree.map(sg, scene.bvh), cfg, sg(so), sg(l_dir),
+                      sg(t_other), sort=True)
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_dir, v, material, cfg.brdf)
         other = jnp.where(((~occ) & (pick_dir | pick_spot | pick_area))[:, None],
                           bsdf * contrib_other, 0.0)
@@ -255,7 +270,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
         o, d, radiance, throughput, alive, primary_t = carry
 
         t_init = jnp.where(alive, BVH_FAR, 0.0)
-        hit = _closest(bvh_sg, cfg, sg(o), sg(d), sg(t_init))
+        hit = _closest(bvh_sg, cfg, sg(o), sg(d), sg(t_init), sort=True)
         # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
         found = hit.prim >= 0
