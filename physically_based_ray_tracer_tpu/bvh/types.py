@@ -47,6 +47,12 @@ class BVHArrays(NamedTuple):
     nodes_child: jnp.ndarray  # (N, 2) i32: child codes (see module docstring)
     tris: jnp.ndarray         # (P, 9) f32: v0, e1, e2 (padded rows are degenerate)
     prim_index: jnp.ndarray   # (P,) i32: original prim id (-1 for padding)
+    # Woop unit-triangle transform per slot, laid out axis-major for the MXU
+    # leaf test (ops/traverse_packet.woop_dense): row j is
+    # [M[0,:], c[0], M[1,:], c[1], M[2,:], c[2]] with M = inv([e1 e2 n]),
+    # c = -M v0 — so that o' = M o + c, d' = M d put the triangle at the
+    # unit right triangle in z=0 and t/u/v fall out of 2 fused matmuls.
+    tris_woop: jnp.ndarray    # (P, 12) f32 (zero rows reject: d'_z == 0)
 
     @property
     def n_nodes(self):
@@ -66,7 +72,32 @@ class BVHArrays(NamedTuple):
             np.ascontiguousarray(nodes_child, np.int32),
             np.ascontiguousarray(tris, np.float32),
             np.ascontiguousarray(prim_index, np.int32),
+            woop_from_tris(tris),
         )
+
+
+def woop_from_tris(tris: np.ndarray) -> np.ndarray:
+    """Per-slot Woop transform (P, 12) from packed (v0, e1, e2) rows.
+
+    M = inv([e1 e2 n]) with n = e1 x e2; c = -M v0. A point p = v0 + u e1 +
+    v e2 maps to (u, v, 0), and the ray parameter t is preserved, so the
+    leaf test reduces to t = -o'_z / d'_z, u = o'_x + t d'_x, v = o'_y +
+    t d'_y (Woop et al. 2013 unit-triangle intersection). Degenerate /
+    padded rows get M = 0, which yields d'_z = 0 and auto-rejects.
+    """
+    tris = np.asarray(tris, np.float64)
+    v0, e1, e2 = tris[:, 0:3], tris[:, 3:6], tris[:, 6:9]
+    n = np.cross(e1, e2)
+    A = np.stack([e1, e2, n], axis=-1)               # columns [e1 e2 n]
+    det = np.linalg.det(A)
+    ok = np.abs(det) > 1e-18
+    A_safe = np.where(ok[:, None, None], A, np.eye(3)[None])
+    M = np.where(ok[:, None, None], np.linalg.inv(A_safe), 0.0)
+    c = -np.einsum("pij,pj->pi", M, v0)
+    out = np.concatenate([M[:, 0, :], c[:, 0:1],
+                          M[:, 1, :], c[:, 1:2],
+                          M[:, 2, :], c[:, 2:3]], axis=1)
+    return np.ascontiguousarray(out, np.float32)
 
 
 def sah_cost(nodes_box: np.ndarray, nodes_child: np.ndarray,

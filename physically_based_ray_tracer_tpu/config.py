@@ -108,7 +108,9 @@ class RenderConfig:
     chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame
     traversal: str = "wave"            # "wave" | "packet" | "lane" (see ops/traverse*)
     sort_rays: bool = True             # octant+Morton sort of bounce/shadow wavefronts
-    packet_tile: int = 256             # rays per packet tile
+    packet_tile: int = 128             # rays per packet tile (128 = one VPU lane row)
+    dense: str = "mt"                  # leaf test: "mt" (fused VPU) | "woop" (MXU matmul)
+    wave_shrink: int = 8               # adaptive compaction width divisor (0 disables)
     pixel_order: str = "morton"        # "morton" (square coherent tiles) | "scanline"
     max_stack_depth: int = 48          # traversal stack bound (TPU-side, static)
     leaf_size: int = 16                # tris per BVH leaf (packet traversal wants fat leaves)

@@ -318,33 +318,74 @@ def intersect_any_packet(bvh: BVHArrays, o, d, t_max, *,
     return occ.reshape(-1)[:b]
 
 
-def intersect_closest_wave(bvh: BVHArrays, o, d, t_max=None, *,
-                           tile: int = 256, stack_depth: int = 48,
-                           leaf_size: int = 16, node_steps: int = 8,
-                           leaf_cap: int = 4) -> Hit:
-    """Wave variant of the packet traversal: node-stepping and leaf testing
-    are decoupled so internal-node steps cost only the (cheap) interval math.
+def _w1_from_rows(rows_w, K_tot):
+    """(T, K, 12) Woop rows -> (T, 4, 3K) matmul weights, columns grouped
+    axis-major: [all-x | all-y | all-z] so the epilogue slices contiguously."""
+    T = rows_w.shape[0]
+    r = rows_w.reshape(T, K_tot, 3, 4)           # [j, axis, f]
+    return jnp.transpose(r, (0, 3, 2, 1)).reshape(T, 4, 3 * K_tot)
 
-    Each outer iteration ("wave") runs ``node_steps`` node-only traversal
-    steps per tile, buffering up to ``leaf_cap`` leaf references, then one
-    dense phase tests every buffered leaf against all lanes. Tiles whose
-    buffer fills mid-wave stall (re-visit the leaf next wave) — correctness
-    never depends on the wave shape, only utilization does. Between waves the
-    per-tile t_max tightens, restoring closest-first pruning.
+
+def woop_dense(o_t, d_t, w1, t_clip):
+    """Dense tile x leaf intersection on the MXU.
+
+    o_t, d_t: (T, W, 3); w1: (T, 4, 3K) Woop weights; t_clip: (T, W).
+    One batched matmul maps [o,1] and [d,0] of every lane through every
+    triangle's unit-triangle transform; the VPU epilogue is ~10 ops/pair
+    (vs ~60 for Moller-Trumbore). Returns (t, u, v, hit) each (T, W, K).
     """
-    B0 = o.shape[0]
-    if t_max is None:
-        t_max = jnp.full((B0,), BVH_FAR, o.dtype)
-    o_t, d_t, (tmax_t,), b, T = _pad_tiles(o, d, [t_max], tile)
-    rd_t = safe_rcp(d_t)
-    o_lo, o_hi, rd_lo, rd_hi = _tile_bounds(o_t, d_t)
-    W = tile
+    T, W, _ = o_t.shape
+    K = w1.shape[2] // 3
+    ones = jnp.ones((T, W, 1), o_t.dtype)
+    zeros = jnp.zeros((T, W, 1), o_t.dtype)
+    feats = jnp.concatenate(
+        [jnp.concatenate([o_t, ones], axis=-1),
+         jnp.concatenate([d_t, zeros], axis=-1)], axis=1)      # (T, 2W, 4)
+    PQ = jax.lax.dot_general(feats, w1, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # (T, 2W, 3K)
+    P, Q = PQ[:, :W], PQ[:, W:]
+    px, py, pz = P[..., 0:K], P[..., K:2 * K], P[..., 2 * K:3 * K]
+    qx, qy, qz = Q[..., 0:K], Q[..., K:2 * K], Q[..., 2 * K:3 * K]
+    ok = jnp.abs(qz) > 1e-12
+    t = -pz / jnp.where(ok, qz, 1.0)
+    u = px + t * qx
+    v = py + t * qy
+    # small barycentric slack: the transform's rounding differs from MT's, so
+    # exact-zero bounds would open cracks along shared edges (a ray grazing
+    # an edge can get u or v == -1e-7 on BOTH triangles). Slack makes edges
+    # watertight (double-hit resolves by min-t) instead of leaky.
+    eps = 1e-5
+    hit = (ok & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+           & (t > 0.0) & (t < t_clip[:, :, None]))
+    return t, u, v, hit
+
+
+def _mt_rows_dense(bvh, o_t, d_t, slots, col_ok, t_clip):
+    """MT fallback dense phase over explicit (T, K_tot) slot ids."""
+    rows = _gather_rows(bvh.tris, jnp.where(col_ok, slots, 0))
+    return mt_dense(o_t, d_t, rows, t_clip)
+
+
+def _woop_slots_dense(bvh, o_t, d_t, slots, col_ok, t_clip):
+    rows_w = _gather_rows(bvh.tris_woop, jnp.where(col_ok, slots, 0))
+    w1 = _w1_from_rows(rows_w, slots.shape[1])
+    return woop_dense(o_t, d_t, w1, t_clip)
+
+
+# ---------------------------------------------------------------------------
+# Wave engine: node-stepping with buffered leaves, one fused dense phase per
+# wave, and shrink-round compaction so total work tracks the sum of per-tile
+# visits instead of T x (slowest tile). See intersect_closest_wave.
+# ---------------------------------------------------------------------------
+
+def _wave_node_scan(bvh, st, node_steps, leaf_cap, stack_shape):
+    """Run node_steps node-only traversal steps, buffering leaf codes."""
 
     def node_step(carry, _):
-        cur, sp, stack, nleaf, leafbuf, t_tile, active = carry
+        (cur, sp, stack, nleaf, leafbuf, t_tile, active,
+         o_lo, o_hi, rd_lo, rd_hi) = carry
         is_leaf = cur < 0
         full = nleaf >= leaf_cap
-        # buffer leaf + pop (unless buffer full: stall in place)
         lidx = jax.lax.broadcasted_iota(jnp.int32, leafbuf.shape, 1)
         append = is_leaf & active & ~full
         leafbuf = jnp.where((lidx == nleaf[:, None]) & append[:, None],
@@ -371,10 +412,10 @@ def intersect_closest_wave(bvh: BVHArrays, o, d, t_max=None, *,
         push = both & active & ~is_leaf
 
         sidx = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
-        stack = jnp.where((sidx == sp[:, None]) & push[:, None], far[:, None], stack)
+        stack = jnp.where((sidx == sp[:, None]) & push[:, None],
+                          far[:, None], stack)
         sp = sp + jnp.where(push, 1, 0)
 
-        # leaf: pop (appended above) or stall (full); internal: descend/pop
         nxt = jnp.where(is_leaf, jnp.where(full, cur, DONE), internal_next)
         need_pop = (nxt == DONE) & active
         can_pop = need_pop & (sp > 0)
@@ -384,151 +425,198 @@ def intersect_closest_wave(bvh: BVHArrays, o, d, t_max=None, *,
         sp = jnp.where(can_pop, sp_pop, sp)
         active = active & ~(need_pop & ~can_pop)
         nxt = jnp.where(active, nxt, DONE)
-        return (nxt, sp, stack, nleaf, leafbuf, t_tile, active), None
+        return (nxt, sp, stack, nleaf, leafbuf, t_tile, active,
+                o_lo, o_hi, rd_lo, rd_hi), None
 
-    def wave(state):
-        cur, sp, stack, t, u, v, prim, active = state
-        t_tile = jnp.max(jnp.minimum(t, tmax_t), axis=1)
-        nleaf = jnp.zeros((T,), jnp.int32)
-        leafbuf = jnp.full((T, leaf_cap), -1, jnp.int32)
-        (cur, sp, stack, nleaf, leafbuf, _, active), _ = jax.lax.scan(
-            node_step, (cur, sp, stack, nleaf, leafbuf, t_tile, active),
-            None, length=node_steps)
+    T = st["cur"].shape[0]
+    nleaf = jnp.zeros((T,), jnp.int32)
+    leafbuf = jnp.full((T, leaf_cap), -1, jnp.int32)
+    carry = (st["cur"], st["sp"], st["stack"], nleaf, leafbuf, st["t_tile"],
+             st["active"], st["o_lo"], st["o_hi"], st["rd_lo"], st["rd_hi"])
+    (cur, sp, stack, nleaf, leafbuf, _, active, *_), _ = jax.lax.scan(
+        node_step, carry, None, length=node_steps)
+    return cur, sp, stack, nleaf, leafbuf, active
 
-        # dense phase: every buffered leaf against all lanes
-        for l in range(leaf_cap):
-            code = leafbuf[:, l]
-            has = l < nleaf
-            first, count = _leaf_decode(jnp.where(has, code, -1))
-            slots = first[:, None] + jnp.arange(leaf_size)[None, :]
-            rows = _gather_rows(bvh.tris, jnp.where(has[:, None], slots, 0))
-            kt, ku, kv, khit = mt_dense(o_t, d_t, rows, jnp.minimum(t, tmax_t))
-            valid = (jnp.arange(leaf_size)[None, None, :] < count[:, None, None]) \
-                & has[:, None, None] & khit
-            # unrolled min-chain: pure fused elementwise updates on (T, W) —
-            # no minor-axis argmin/take_along_axis (slow path on TPU)
-            for k in range(leaf_size):
-                take = valid[:, :, k] & (kt[:, :, k] < jnp.minimum(t, tmax_t))
+
+def _leaf_columns(leafbuf, nleaf, leaf_size):
+    """Expand the (T, L) leaf buffer into flat dense-test columns:
+    slots (T, L*K) triangle slot ids + col_ok validity mask."""
+    first, count = _leaf_decode(leafbuf)   # filler -1 decodes to count 0
+    has = (jax.lax.broadcasted_iota(jnp.int32, leafbuf.shape, 1)
+           < nleaf[:, None])                                    # (T, L)
+    k = jnp.arange(leaf_size, dtype=jnp.int32)
+    slots = (first[:, :, None] + k[None, None, :])              # (T, L, K)
+    col_ok = has[:, :, None] & (k[None, None, :] < count[:, :, None])
+    L, K = leafbuf.shape[1], leaf_size
+    return (slots.reshape(-1, L * K), col_ok.reshape(-1, L * K))
+
+
+def _wave_state(bvh, o_t, d_t, tmax_t, stack_depth, closest):
+    T, W, _ = o_t.shape
+    o_lo, o_hi, rd_lo, rd_hi = _tile_bounds(o_t, d_t)
+    st = dict(
+        o_t=o_t, d_t=d_t, tmax=tmax_t,
+        o_lo=o_lo, o_hi=o_hi, rd_lo=rd_lo, rd_hi=rd_hi,
+        cur=jnp.zeros((T,), jnp.int32),
+        sp=jnp.zeros((T,), jnp.int32),
+        stack=jnp.full((T, stack_depth), DONE, jnp.int32),
+        active=jnp.ones((T,), bool),
+        tile_id=jnp.arange(T, dtype=jnp.int32),
+        t_tile=jnp.zeros((T,), o_t.dtype),
+    )
+    if closest:
+        st.update(t=jnp.full((T, W), BVH_FAR, o_t.dtype),
+                  u=jnp.zeros((T, W), o_t.dtype),
+                  v=jnp.zeros((T, W), o_t.dtype),
+                  prim=jnp.full((T, W), -1, jnp.int32))
+        st["t_tile"] = jnp.max(jnp.minimum(st["t"], tmax_t), axis=1)
+    else:
+        st["occ"] = jnp.zeros((T, W), bool)
+        st["t_tile"] = jnp.max(jnp.where(tmax_t > 0.0, tmax_t, 0.0), axis=1)
+    return st
+
+
+def _wave_run(bvh, st, *, closest, node_steps, leaf_cap, leaf_size,
+              dense, min_active):
+    """while(any active [and > min_active tiles active]): node scan + dense.
+
+    ``min_active`` is the adaptive-cascade exit: once at most that many
+    tiles remain active, control returns so the caller can compact them
+    into a narrower array (guaranteed to fit) and keep iterating there."""
+    dense_fn = _woop_slots_dense if dense == "woop" else _mt_rows_dense
+
+    def wave(carry):
+        i, st = carry
+        cur, sp, stack, nleaf, leafbuf, active = _wave_node_scan(
+            bvh, st, node_steps, leaf_cap, st["stack"].shape)
+        st = dict(st, cur=cur, sp=sp, stack=stack, active=active)
+
+        slots, col_ok = _leaf_columns(leafbuf, nleaf, leaf_size)
+        if closest:
+            t_clip = jnp.minimum(st["t"], st["tmax"])
+            kt, ku, kv, khit = dense_fn(bvh, st["o_t"], st["d_t"], slots,
+                                        col_ok, t_clip)
+            khit = khit & col_ok[:, None, :]
+            t, u, v, prim = st["t"], st["u"], st["v"], st["prim"]
+            K_tot = slots.shape[1]
+            for k in range(K_tot):
+                take = khit[:, :, k] & (kt[:, :, k] < jnp.minimum(t, st["tmax"]))
                 t = jnp.where(take, kt[:, :, k], t)
                 u = jnp.where(take, ku[:, :, k], u)
                 v = jnp.where(take, kv[:, :, k], v)
-                prim = jnp.where(take, first[:, None] + k, prim)
-        return cur, sp, stack, t, u, v, prim, active
+                prim = jnp.where(take, slots[:, None, k], prim)
+            st = dict(st, t=t, u=u, v=v, prim=prim,
+                      t_tile=jnp.max(jnp.minimum(t, st["tmax"]), axis=1))
+        else:
+            _, _, _, khit = dense_fn(bvh, st["o_t"], st["d_t"], slots,
+                                     col_ok, st["tmax"])
+            occ = st["occ"] | jnp.any(khit & col_ok[:, None, :], axis=2)
+            all_occ = jnp.all(occ | (st["tmax"] <= 0.0), axis=1)
+            st = dict(st, occ=occ, active=st["active"] & ~all_occ,
+                      t_tile=jnp.max(jnp.where(~occ, st["tmax"], 0.0), axis=1))
+        return i + 1, st
 
-    def cond(state):
-        return jnp.any(state[-1])
+    if min_active:
+        def cond(c):
+            return jnp.sum(c[1]["active"]) > min_active
+    else:
+        def cond(c):
+            return jnp.any(c[1]["active"])
 
-    init = (
-        jnp.zeros((T,), jnp.int32),
-        jnp.zeros((T,), jnp.int32),
-        jnp.full((T, stack_depth), DONE, jnp.int32),
-        jnp.full((T, W), BVH_FAR, o.dtype),
-        jnp.zeros((T, W), o.dtype),
-        jnp.zeros((T, W), o.dtype),
-        jnp.full((T, W), -1, jnp.int32),
-        jnp.ones((T,), bool),
-    )
-    _, _, _, t, u, v, prim_slot, _ = jax.lax.while_loop(cond, wave, init)
+    _, st = jax.lax.while_loop(cond, wave, (jnp.int32(0), st))
+    return st
 
-    t = t.reshape(-1)[:b]
-    u = u.reshape(-1)[:b]
-    v = v.reshape(-1)[:b]
-    prim_slot = prim_slot.reshape(-1)[:b]
-    found = (prim_slot >= 0) & (t < t_max)
-    prim = jnp.where(found, _gather_rows(bvh.prim_index,
-                                         jnp.maximum(prim_slot, 0)), -1)
-    t = jnp.where(found, t, BVH_FAR)
-    return Hit(t=t, u=jnp.where(found, u, 0.0), v=jnp.where(found, v, 0.0),
-               prim=prim, inst=jnp.where(found, 0, -1))
+
+def _wave_engine(bvh, o, d, t_max, *, closest, tile, stack_depth, leaf_size,
+                 node_steps, leaf_cap, dense, shrink):
+    """Adaptive shrink cascade.
+
+    Each level of width T_k iterates while more than T_k/shrink tiles are
+    active, then stable-sorts actives to the front and continues in a
+    T_k/shrink-wide array — the exit condition guarantees every active tile
+    fits, so no backstop pass is needed. Total work tracks the sum of
+    per-tile visits instead of T x (slowest tile), with no per-pass tuning:
+    coherent primary tiles exit level 0 after a handful of waves while
+    incoherent bounce stragglers cascade into cheap narrow levels.
+    """
+    o_t, d_t, (tmax_t,), b, T = _pad_tiles(o, d, [t_max], tile)
+    st = _wave_state(bvh, o_t, d_t, tmax_t, stack_depth, closest)
+    run = lambda s, min_active: _wave_run(
+        bvh, s, closest=closest, node_steps=node_steps, leaf_cap=leaf_cap,
+        leaf_size=leaf_size, dense=dense, min_active=min_active)
+
+    segments = []
+    T_k = T
+    shrunk = shrink and shrink > 1
+    while shrunk and T_k // shrink >= 16:
+        st = run(st, T_k // shrink)
+        order = jnp.argsort(~st["active"], stable=True)
+        st = jax.tree.map(lambda a: jnp.take(a, order, axis=0), st)
+        T_k //= shrink
+        segments.append(jax.tree.map(lambda a: a[T_k:], st))
+        st = jax.tree.map(lambda a: a[:T_k], st)
+    st = run(st, 0)
+    if segments:
+        st = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                          st, *reversed(segments))
+        # argsort (not scatter): scatters of permutations crash the XLA:TPU
+        # scatter emitter in fused contexts, and a sort is cheap at T rows
+        inv = jnp.argsort(st["tile_id"])
+        take = lambda x: jnp.take(x, inv, axis=0).reshape(-1)[:b]
+    else:
+        take = lambda x: x.reshape(-1)[:b]
+    if closest:
+        t = take(st["t"])
+        prim_slot = take(st["prim"])
+        found = (prim_slot >= 0) & (t < jnp.asarray(t_max))
+        prim = jnp.where(found, _gather_rows(bvh.prim_index,
+                                             jnp.maximum(prim_slot, 0)), -1)
+        t = jnp.where(found, t, BVH_FAR)
+        u = jnp.where(found, take(st["u"]), 0.0)
+        v = jnp.where(found, take(st["v"]), 0.0)
+        return Hit(t=t, u=u, v=v, prim=prim, inst=jnp.where(found, 0, -1))
+    return take(st["occ"])
+
+
+def intersect_closest_wave(bvh: BVHArrays, o, d, t_max=None, *,
+                           tile: int = 128, stack_depth: int = 48,
+                           leaf_size: int = 16, node_steps: int = 8,
+                           leaf_cap: int = 4, dense: str = "mt",
+                           shrink: int = 8) -> Hit:
+    """Wave packet traversal: decoupled node-stepping and dense leaf phases.
+
+    TPU-native rebuild of tinybvh's packet + 8-wide traversal ideas
+    (Core/tiny_bvh.h:2675-2846, :6302-6475) re-shaped for a lockstep vector
+    machine:
+
+    * each outer iteration runs ``node_steps`` cheap node-interval steps per
+      tile, buffering up to ``leaf_cap`` leaves, then ONE dense phase tests
+      all buffered leaves against all lanes — on the MXU via per-triangle
+      Woop transforms (``dense='woop'``) or on the VPU via Moller-Trumbore
+      (``dense='mt'``);
+    * an adaptive shrink cascade compacts still-active tiles into
+      1/``shrink``-width arrays as soon as they fit, so total work tracks
+      the sum of per-tile visits, not T x (slowest tile).
+    """
+    B0 = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((B0,), BVH_FAR, o.dtype)
+    return _wave_engine(bvh, o, d, t_max, closest=True, tile=tile,
+                        stack_depth=stack_depth, leaf_size=leaf_size,
+                        node_steps=node_steps, leaf_cap=leaf_cap, dense=dense,
+                        shrink=shrink)
 
 
 def intersect_any_wave(bvh: BVHArrays, o, d, t_max, *,
-                       tile: int = 256, stack_depth: int = 48,
+                       tile: int = 128, stack_depth: int = 48,
                        leaf_size: int = 16, node_steps: int = 8,
-                       leaf_cap: int = 4) -> jnp.ndarray:
+                       leaf_cap: int = 4, dense: str = "mt",
+                       shrink: int = 8) -> jnp.ndarray:
     """Wave occlusion query (see intersect_closest_wave)."""
-    B0 = o.shape[0]
-    o_t, d_t, (tmax_t,), b, T = _pad_tiles(o, d, [t_max], tile)
-    o_lo, o_hi, rd_lo, rd_hi = _tile_bounds(o_t, d_t)
-    W = tile
-
-    def node_step(carry, _):
-        cur, sp, stack, nleaf, leafbuf, t_tile, active = carry
-        is_leaf = cur < 0
-        full = nleaf >= leaf_cap
-        lidx = jax.lax.broadcasted_iota(jnp.int32, leafbuf.shape, 1)
-        append = is_leaf & active & ~full
-        leafbuf = jnp.where((lidx == nleaf[:, None]) & append[:, None],
-                            cur[:, None], leafbuf)
-        nleaf = nleaf + jnp.where(append, 1, 0)
-
-        node_idx = jnp.where(is_leaf | ~active, 0, cur)
-        box = _gather_rows(bvh.nodes_box, node_idx)
-        child = _gather_rows(bvh.nodes_child, node_idx)
-        _, h0 = _interval_slab(box[:, 0:6], o_lo, o_hi, rd_lo, rd_hi, t_tile)
-        _, h1 = _interval_slab(box[:, 6:12], o_lo, o_hi, rd_lo, rd_hi, t_tile)
-        c0, c1 = child[:, 0], child[:, 1]
-        e0 = (c0 < 0) & (((-(c0 + 1)) & LEAF_COUNT_MASK) == 0)
-        e1 = (c1 < 0) & (((-(c1 + 1)) & LEAF_COUNT_MASK) == 0)
-        h0 &= ~e0
-        h1 &= ~e1
-        both = h0 & h1
-        internal_next = jnp.where(h0, c0, jnp.where(h1, c1, DONE))
-        push = both & active & ~is_leaf
-
-        sidx = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
-        stack = jnp.where((sidx == sp[:, None]) & push[:, None], c1[:, None], stack)
-        sp = sp + jnp.where(push, 1, 0)
-
-        nxt = jnp.where(is_leaf, jnp.where(full, cur, DONE), internal_next)
-        need_pop = (nxt == DONE) & active
-        can_pop = need_pop & (sp > 0)
-        sp_pop = jnp.maximum(sp - 1, 0)
-        top = jnp.take_along_axis(stack, sp_pop[:, None], axis=1)[:, 0]
-        nxt = jnp.where(can_pop, top, nxt)
-        sp = jnp.where(can_pop, sp_pop, sp)
-        active = active & ~(need_pop & ~can_pop)
-        nxt = jnp.where(active, nxt, DONE)
-        return (nxt, sp, stack, nleaf, leafbuf, t_tile, active), None
-
-    def wave(state):
-        cur, sp, stack, occ, active = state
-        pending = (~occ) & (tmax_t > 0.0)
-        t_tile = jnp.max(jnp.where(pending, tmax_t, 0.0), axis=1)
-        nleaf = jnp.zeros((T,), jnp.int32)
-        leafbuf = jnp.full((T, leaf_cap), -1, jnp.int32)
-        (cur, sp, stack, nleaf, leafbuf, _, active), _ = jax.lax.scan(
-            node_step, (cur, sp, stack, nleaf, leafbuf, t_tile, active),
-            None, length=node_steps)
-
-        for l in range(leaf_cap):
-            code = leafbuf[:, l]
-            has = l < nleaf
-            first, count = _leaf_decode(jnp.where(has, code, -1))
-            slots = first[:, None] + jnp.arange(leaf_size)[None, :]
-            rows = _gather_rows(bvh.tris, jnp.where(has[:, None], slots, 0))
-            _, _, _, khit = mt_dense(o_t, d_t, rows, tmax_t)
-            valid = (jnp.arange(leaf_size)[None, None, :] < count[:, None, None]) \
-                & has[:, None, None] & khit
-            occ = occ | jnp.any(valid, axis=2)
-
-        # a tile whose rays are all occluded can retire early
-        all_occ = jnp.all(occ | (tmax_t <= 0.0), axis=1)
-        active = active & ~all_occ
-        return cur, sp, stack, occ, active
-
-    def cond(state):
-        return jnp.any(state[-1])
-
-    init = (
-        jnp.zeros((T,), jnp.int32),
-        jnp.zeros((T,), jnp.int32),
-        jnp.full((T, stack_depth), DONE, jnp.int32),
-        jnp.zeros((T, W), bool),
-        jnp.ones((T,), bool),
-    )
-    _, _, _, occ, _ = jax.lax.while_loop(cond, wave, init)
-    return occ.reshape(-1)[:b]
+    return _wave_engine(bvh, o, d, t_max, closest=False, tile=tile,
+                        stack_depth=stack_depth, leaf_size=leaf_size,
+                        node_steps=node_steps, leaf_cap=leaf_cap, dense=dense,
+                        shrink=shrink)
 
 
 def morton_order(o, d, scene_lo, scene_hi):

@@ -72,6 +72,7 @@ def _closest(bvh, cfg: RenderConfig, o, d, t_max=None, sort=False):
     if cfg.traversal == "wave":
         from physically_based_ray_tracer_tpu.ops.traverse_packet import (
             intersect_closest_wave, sorted_closest)
+        kw.update(dense=cfg.dense, shrink=cfg.wave_shrink)
         if sort and cfg.sort_rays:
             return sorted_closest(intersect_closest_wave, bvh, o, d, t_max, **kw)
         return intersect_closest_wave(bvh, o, d, t_max, **kw)
@@ -90,6 +91,7 @@ def _anyhit(bvh, cfg: RenderConfig, o, d, t_max, sort=False):
     if cfg.traversal == "wave":
         from physically_based_ray_tracer_tpu.ops.traverse_packet import (
             intersect_any_wave, sorted_any)
+        kw.update(dense=cfg.dense, shrink=cfg.wave_shrink)
         if sort and cfg.sort_rays:
             return sorted_any(intersect_any_wave, bvh, o, d, t_max, **kw)
         return intersect_any_wave(bvh, o, d, t_max, **kw)
