@@ -619,10 +619,15 @@ def intersect_any_wave(bvh: BVHArrays, o, d, t_max, *,
                         shrink=shrink)
 
 
-def morton_order(o, d, scene_lo, scene_hi):
+def morton_order(o, d, scene_lo, scene_hi, dead=None):
     """Sort key making ray tiles coherent: 3-bit direction octant (major) +
     interleaved 7-bit-per-axis origin Morton code. Returns the permutation;
-    invert with jnp.argsort(perm) to unsort results."""
+    invert with jnp.argsort(perm) to unsort results.
+
+    ``dead`` (optional bool (B,)): lanes that cannot hit (e.g. shadow rays
+    with tmax == 0 from an unselected light branch). They sort to the back so
+    they cluster into all-dead tiles that a traversal rejects at the root in
+    one step, instead of being interleaved with live rays."""
     ext = jnp.maximum(scene_hi - scene_lo, 1e-20)
     q = jnp.clip(((o - scene_lo) / ext) * 127.0, 0.0, 127.0).astype(jnp.uint32)
 
@@ -637,6 +642,8 @@ def morton_order(o, d, scene_lo, scene_hi):
               | ((d[..., 1] > 0).astype(jnp.uint32) << 1)
               | ((d[..., 2] > 0).astype(jnp.uint32) << 2))
     key = (octant << 21) | morton
+    if dead is not None:
+        key = key | (dead.astype(jnp.uint32) << 24)
     return jnp.argsort(key)
 
 

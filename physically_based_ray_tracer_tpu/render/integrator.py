@@ -36,6 +36,8 @@ solid-angle conversion, and arbitrary point-light counts.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -59,14 +61,34 @@ from physically_based_ray_tracer_tpu.utils.math import dot, normalize, reflect, 
 from physically_based_ray_tracer_tpu.utils.rng import Purpose
 
 
-def _closest(bvh, cfg: RenderConfig, o, d, t_max=None, sort=False):
-    """Traversal dispatch: "wave" (packet + decoupled dense leaf phase),
-    "packet" (inline leaf tests), or "lane" (per-ray stack).
+class Accel(NamedTuple):
+    """Acceleration-structure bundle handed to the traversal dispatch:
+    the classic 2-wide BVH (XLA engines) + the dense-leaf BVH (Pallas)."""
 
-    ``sort=True`` runs the packet/wave variants on octant+Morton-sorted rays
-    (ops/traverse_packet.sorted_closest) — essential for incoherent bounce
-    and shadow wavefronts, skippable for primary rays already in Morton
-    pixel order."""
+    bvh: object   # BVHArrays
+    dense: object  # bvh.dense.DenseBVH
+
+
+def _pallas_interpret() -> bool:
+    """Pallas kernels compile only on TPU; interpret elsewhere (CPU tests)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
+    """Traversal dispatch: "pallas" (fused megakernel, production path),
+    "wave" (XLA packet + decoupled dense leaf phase), "packet" (inline leaf
+    tests), or "lane" (per-ray stack).
+
+    ``sort=True`` runs on octant+Morton-sorted rays — essential for
+    incoherent bounce and shadow wavefronts, skippable for primary rays
+    already in Morton pixel order."""
+    bvh = accel.bvh
+    if cfg.traversal == "pallas":
+        from physically_based_ray_tracer_tpu.ops.pallas_trace import (
+            intersect_closest_dense, sorted_closest_dense)
+        fn = sorted_closest_dense if (sort and cfg.sort_rays) \
+            else intersect_closest_dense
+        return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
     kw = dict(tile=cfg.packet_tile, stack_depth=cfg.max_stack_depth,
               leaf_size=cfg.leaf_size)
     if cfg.traversal == "wave":
@@ -85,7 +107,13 @@ def _closest(bvh, cfg: RenderConfig, o, d, t_max=None, sort=False):
                              leaf_size=cfg.leaf_size)
 
 
-def _anyhit(bvh, cfg: RenderConfig, o, d, t_max, sort=False):
+def _anyhit(accel: Accel, cfg: RenderConfig, o, d, t_max, sort=False):
+    bvh = accel.bvh
+    if cfg.traversal == "pallas":
+        from physically_based_ray_tracer_tpu.ops.pallas_trace import (
+            intersect_any_dense, sorted_any_dense)
+        fn = sorted_any_dense if (sort and cfg.sort_rays) else intersect_any_dense
+        return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
     kw = dict(tile=cfg.packet_tile, stack_depth=cfg.max_stack_depth,
               leaf_size=cfg.leaf_size)
     if cfg.traversal == "wave":
@@ -168,7 +196,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
                    * (falloff * cosa)[..., None])                     # (B, NP, 3)
 
         sg = jax.lax.stop_gradient
-        bvh_sg = jax.tree.map(sg, scene.bvh)
+        accel_sg = jax.tree.map(sg, Accel(scene.bvh, scene.dense))
         # all NP shadow rays in one flattened occlusion pass, LIGHT-major so
         # each packet tile shares one light (coherent directions); frame
         # chunking in render/renderer.py bounds the live (NP*B,) state
@@ -179,7 +207,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         tmax = sg(jnp.swapaxes(
             jnp.where(pick_point[:, None], dist_sq - EPSILON, 0.0), 0, 1)
             .reshape(np_ * B))
-        occ = jnp.swapaxes(_anyhit(bvh_sg, cfg, so, sd, tmax, sort=True)
+        occ = jnp.swapaxes(_anyhit(accel_sg, cfg, so, sd, tmax, sort=True)
                            .reshape(np_, B), 0, 1)
         visible = (~occ) & pick_point[:, None]
         point_contrib = jnp.sum(jnp.where(visible[..., None], contrib, 0.0), axis=1)
@@ -242,8 +270,8 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
         sg = jax.lax.stop_gradient
         so = point + l_dir * EPSILON
-        occ = _anyhit(jax.tree.map(sg, scene.bvh), cfg, sg(so), sg(l_dir),
-                      sg(t_other), sort=True)
+        occ = _anyhit(jax.tree.map(sg, Accel(scene.bvh, scene.dense)), cfg,
+                      sg(so), sg(l_dir), sg(t_other), sort=True)
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_dir, v, material, cfg.brdf)
         other = jnp.where(((~occ) & (pick_dir | pick_spot | pick_area))[:, None],
                           bsdf * contrib_other, 0.0)
@@ -266,13 +294,13 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
     # (detached-sampling estimator, SURVEY.md §7). Differentiable (t, u, v)
     # are recomputed analytically from the hit triangle below.
     sg = jax.lax.stop_gradient
-    bvh_sg = jax.tree.map(sg, scene.bvh)
+    accel_sg = jax.tree.map(sg, Accel(scene.bvh, scene.dense))
 
     def body(carry, depth):
         o, d, radiance, throughput, alive, primary_t = carry
 
         t_init = jnp.where(alive, BVH_FAR, 0.0)
-        hit = _closest(bvh_sg, cfg, sg(o), sg(d), sg(t_init), sort=True)
+        hit = _closest(accel_sg, cfg, sg(o), sg(d), sg(t_init), sort=True)
         # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
         found = hit.prim >= 0
@@ -361,7 +389,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
 
 def render_aov(scene, cfg: RenderConfig, o, d):
     """Debug AOV views (Core/Renderer.cpp:170-194), evaluated at primary hits."""
-    hit = _closest(scene.bvh, cfg, o, d)
+    hit = _closest(Accel(scene.bvh, scene.dense), cfg, o, d)
     prim = jnp.maximum(hit.prim, 0)
     ok = (hit.prim >= 0)[:, None]
     mode = cfg.rendering_mode

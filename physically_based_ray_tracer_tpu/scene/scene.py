@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from physically_based_ray_tracer_tpu.bvh.builder import build_bvh, bvh_depth
+from physically_based_ray_tracer_tpu.bvh.dense import DenseBVH, build_dense
 from physically_based_ray_tracer_tpu.bvh.types import BVHArrays
 from physically_based_ray_tracer_tpu.scene.lights import LightSet
 from physically_based_ray_tracer_tpu.utils.math import (compose_trs,
@@ -83,6 +84,7 @@ class SceneData(NamedTuple):
     """Everything the integrator needs, as device arrays (replicated per chip)."""
 
     bvh: BVHArrays
+    dense: DenseBVH            # fat-leaf BVH for the Pallas megakernel
     # original-order world-space geometry (for shading + differentiable refine)
     tri_v0: jnp.ndarray        # (P, 3)
     tri_e1: jnp.ndarray        # (P, 3)
@@ -112,7 +114,8 @@ class SceneData(NamedTuple):
 
 def build_scene(models: list[MeshModel], instances: list[Instance],
                 lights: LightSet | None = None, sky: np.ndarray | None = None,
-                leaf_size: int = 16) -> tuple[SceneData, int]:
+                leaf_size: int = 16, dense_leaf_target: int = 64,
+                ) -> tuple[SceneData, int]:
     """Bake instances to world space, build the flattened BVH, upload.
 
     Returns (scene_data, bvh_depth) — the depth feeds the static traversal
@@ -144,6 +147,7 @@ def build_scene(models: list[MeshModel], instances: list[Instance],
 
     bvh = build_bvh(tri, leaf_size=leaf_size)
     depth = bvh_depth(bvh)
+    dense, _ = build_dense(tri, leaf_target=dense_leaf_target)
 
     # texture pool
     pool_parts: list[np.ndarray] = []
@@ -168,6 +172,7 @@ def build_scene(models: list[MeshModel], instances: list[Instance],
     f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
     data = SceneData(
         bvh=bvh.to_device(),
+        dense=dense,
         tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2),
         face_normal=f32(np.concatenate(all_face_n)),
         corner_normal=f32(np.concatenate(all_normals)),
