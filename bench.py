@@ -44,24 +44,20 @@ def build_bench_scene():
     return scene, cam, depth
 
 
-def count_rays(cfg, n_pixels):
-    """True per-frame ray count for this integrator:
-    per path vertex: 1 extension ray + (n_point + 1) shadow rays (the point
-    pass traces NP lanes, the dir/spot/area pass 1), per AA sub-sample."""
-    spp = 2 if cfg.antialias else 1
-    paths = n_pixels * spp
-    extension = paths * cfg.bounces
-    shadow = paths * cfg.bounces * (4 + 1) if cfg.lighted else 0
-    return extension + shadow
+# Ray accounting: the ONE shared function (utils/timer.ray_count) — bench,
+# FrameStats and parallel/scaling all report the same expected-live-rays
+# metric (see its docstring for what is and is not counted).
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from physically_based_ray_tracer_tpu.config import RenderConfig
     from physically_based_ray_tracer_tpu.render.film import FilmState
     from physically_based_ray_tracer_tpu.render.renderer import frame_fn
+    from physically_based_ray_tracer_tpu.utils.timer import ray_count
     import functools
 
     jax.config.update("jax_compilation_cache_dir",
@@ -70,7 +66,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
-                       skybox=False, max_stack_depth=32)
+                       skybox=False, max_stack_depth=32, traversal="pallas")
     scene, cam, depth = build_bench_scene()
 
     n_pix = cfg.n_pixels
@@ -79,23 +75,28 @@ def main():
     key = jax.random.key(0)
     frame = jax.jit(functools.partial(frame_fn, cfg=cfg))
 
+    def sync(x):
+        # block_until_ready does not actually block over the axon relay —
+        # the only reliable device sync is a device->host scalar fetch.
+        return float(np.asarray(jnp.sum(x)))
+
     # warmup/compile
     film_out, avg = frame(scene, cam, film=film, key=key, sample=0,
                           pixel_ids=pixel_ids)
-    jax.block_until_ready(avg)
+    sync(avg)
 
-    iters = 5
+    iters = 3
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
         film_out, avg = frame(scene, cam, film=film_out, key=key,
                               sample=i + 1, pixel_ids=pixel_ids)
-        jax.block_until_ready(avg)
+        sync(avg)
         times.append(time.perf_counter() - t0)
     times.sort()
     t_med = times[len(times) // 2]
 
-    rays = count_rays(cfg, n_pix)
+    rays = ray_count(cfg, n_pix)
     mrays = rays / t_med / 1e6
     print(json.dumps({
         "metric": "Mrays/s/chip (1280x720, 4-bounce path trace, NEE, AA)",

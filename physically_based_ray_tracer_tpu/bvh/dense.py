@@ -21,6 +21,15 @@ Layouts:
     0..8 are v0.xyz, e1.xyz, e2.xyz (one triangle per lane), row 9 is the
     original primitive id as float (-1 for padding lanes). Padding lanes are
     all-zero triangles -> Möller-Trumbore det == 0 -> never hit.
+
+Variable-count leaves: a leaf holding k triangles is padded to the next
+power of two c = 2^ceil(log2 k) (degenerate all-zero triangles) and that
+c-block is replicated cyclically across all 128 lanes (slot j = tri j mod c).
+Because c divides 128, after r roll-by-1 steps lane L holds slot
+(L - r) mod 128, whose triangle is ((L - r) mod 128) mod c — over
+r = 0..c-1 every lane sees every distinct triangle exactly once. The kernel
+therefore sweeps only c iterations instead of LEAF_W. The leaf child pointer
+encodes both: child = -(g * 8 + log2(c) + 1).
 """
 
 from __future__ import annotations
@@ -97,8 +106,10 @@ def build_dense(triangles: np.ndarray, leaf_target: int = 64,
 
     def make_leaf(parent, side, s, e):
         g = len(leaf_segments)
-        leaf_segments.append(order[s:e].copy())
-        nodes[parent, 12 + side] = float(-(g + 1))
+        seg = order[s:e].copy()
+        leaf_segments.append(seg)
+        log2c = max(int(np.ceil(np.log2(max(len(seg), 1)))), 0)
+        nodes[parent, 12 + side] = float(-(g * 8 + log2c + 1))
 
     def choose_split(s, e):
         """Best binned-SAH split of order[s:e]; returns mid or None."""
@@ -200,13 +211,17 @@ def build_dense(triangles: np.ndarray, leaf_target: int = 64,
     for g, seg in enumerate(final_segments):
         k = len(seg)
         r = g * GROUP_ROWS
+        c = 1 << max(int(np.ceil(np.log2(max(k, 1)))), 0)
+        # cyclic replication with period c (c | 128): slot j = tri j mod c,
+        # padding slots within the c-block are degenerate zero triangles
+        data = np.zeros((10, c), np.float32)
+        data[9, :] = -1.0
         p0 = v0[seg]
-        e1 = tri[seg, 1] - p0
-        e2 = tri[seg, 2] - p0
-        groups[r + 0:r + 3, :k] = p0.T
-        groups[r + 3:r + 6, :k] = e1.T
-        groups[r + 6:r + 9, :k] = e2.T
-        groups[r + 9, :k] = seg.astype(np.float32)
+        data[0:3, :k] = p0.T
+        data[3:6, :k] = (tri[seg, 1] - p0).T
+        data[6:9, :k] = (tri[seg, 2] - p0).T
+        data[9, :k] = seg.astype(np.float32)
+        groups[r:r + 10, :] = np.tile(data, (1, LEAF_W // c))
 
     root_lo = np.minimum(nodes[0, 0:3], np.where(nodes[0, 6:9] >= BIG,
                                                  nodes[0, 0:3], nodes[0, 6:9]))

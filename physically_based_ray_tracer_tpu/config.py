@@ -105,6 +105,11 @@ class RenderConfig:
     brdf: BRDFConfig = dataclasses.field(default_factory=BRDFConfig)
     # Deviation switches (all default to reference-faithful behaviour):
     exact_point_falloff: bool = False  # reference uses color/dist (not 1/d^2) for point lights
+    one_shadow_ray: bool = False       # point NEE: 1 uniformly-picked light ×NP
+    #   (unbiased single-sample estimator) instead of the reference's NP
+    #   shadow rays (Core/Renderer.cpp:220-261) — 1 occlusion lane per vertex
+    depth_keyed_accum: bool = True     # depth-keyed accumulation reset
+    #   heuristic (Core/Renderer.cpp:82-99); False = plain running mean
     chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame
     traversal: str = "wave"            # "wave" | "packet" | "lane" (see ops/traverse*)
     sort_rays: bool = True             # octant+Morton sort of bounce/shadow wavefronts

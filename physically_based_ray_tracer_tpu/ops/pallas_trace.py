@@ -99,7 +99,11 @@ def _traverse_kernel(nodes_ref, groups_ref,
 
     rn = functools.partial(_read_node, nodes_ref, smem=smem_nodes)
 
-    def leaf_visit(g):
+    def leaf_visit(v):
+        # leaf code v = g * 8 + log2(c): group id + replication period
+        # (bvh/dense.py variable-count leaves — sweep only c iterations)
+        g = v // 8
+        count = jnp.int32(1) << (v % 8)
         base = g * GROUP_ROWS
         blk = groups_ref[pl.ds(base, 12), :]        # (12, 128)
         comps0 = [blk[i:i + 1, :] for i in range(10)]
@@ -130,7 +134,7 @@ def _traverse_kernel(nodes_ref, groups_ref,
                 prim_ref[:] = jnp.where(ok, opr.astype(jnp.int32), prim_ref[:])
                 return [_roll1(c, interpret) for c in comps]
 
-            jax.lax.fori_loop(0, LEAF_W, lbody, comps0)
+            jax.lax.fori_loop(0, count, lbody, comps0)
         else:
             def lbody(k, comps):
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, opr) = comps
@@ -153,7 +157,7 @@ def _traverse_kernel(nodes_ref, groups_ref,
                 t_ref[:] = jnp.where(ok, jnp.float32(1.0), t_ref[:])
                 return [_roll1(c, interpret) for c in comps]
 
-            jax.lax.fori_loop(0, LEAF_W, lbody, comps0)
+            jax.lax.fori_loop(0, count, lbody, comps0)
 
     def body(carry):
         i, cur, sp = carry

@@ -45,13 +45,19 @@ def measure_scaling(scene, cam, cfg: RenderConfig, device_counts=None,
         mesh = make_mesh(nd)
         step = sharded_frame(mesh, cfg)
         film = FilmState.zeros(n_pix)
+
+        def sync(o):
+            # scalar fetch: the only reliable device sync on relay devices
+            import numpy as _np
+            return float(_np.asarray(jnp.sum(o[1])))
+
         out = step(scene, cam, film, key, 0, pixel_ids)
-        jax.block_until_ready(out)
+        sync(out)
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
             out = step(scene, cam, film, key, i + 1, pixel_ids)
-            jax.block_until_ready(out)
+            sync(out)
             times.append(time.perf_counter() - t0)
         t = sorted(times)[len(times) // 2]
         rate = rays / t / 1e6

@@ -30,12 +30,16 @@ class FilmState(NamedTuple):
 
 
 def update(film: FilmState, color, primary_t, cfg: RenderConfig,
-           depth_keyed: bool = True):
+           depth_keyed: bool | None = None):
     """Accumulate one frame; returns (new_film, average_color).
 
     ``color`` is the raw linear trace result; gamma is applied here first,
     matching the reference order (gamma -> accumulate, Core/Renderer.cpp:73-99).
+    ``depth_keyed`` defaults to ``cfg.depth_keyed_accum`` so the plain
+    running mean is reachable from RenderConfig.
     """
+    if depth_keyed is None:
+        depth_keyed = cfg.depth_keyed_accum
     if cfg.gamma_corrected:
         # double-where keeps sqrt'(0)=inf out of the backward pass
         pos = color > 0.0

@@ -180,8 +180,33 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
     result = zeros
 
+    # one-shadow-ray estimator state (folded into the shared pass below)
+    point_one = None
+
     # ---- point lights: (B, NP) evaluation + one flattened occlusion pass ---
-    if lights.n_point > 0 and p_point > 0:
+    if lights.n_point > 0 and p_point > 0 and cfg.one_shadow_ray:
+        # single-sample estimator: pick ONE light uniformly, weight by NP —
+        # unbiased for the reference's sum over NP lights, and it costs ONE
+        # occlusion lane per vertex instead of NP (cfg.one_shadow_ray)
+        np_ = lights.n_point
+        lvec = lights.point_pos[None, :, :] - point[:, None, :]      # (B, NP, 3)
+        dist_sq = jnp.sum(lvec * lvec, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-20))
+        ldir = lvec / dist[..., None]
+        cosa = jnp.maximum(jnp.sum(shading_n[:, None, :] * ldir, axis=-1), 0.0)
+        inv_dist = 1.0 / dist
+        falloff = inv_dist * inv_dist if cfg.exact_point_falloff else inv_dist
+        contrib = (lights.point_color[None] * lights.point_active[None, :, None]
+                   * (falloff * cosa)[..., None])                     # (B, NP, 3)
+        u_sel = rng.uniform1(key, pixel_id, sample, depth, Purpose.LIGHT_SELECT)
+        which = jnp.minimum((u_sel * np_).astype(jnp.int32), np_ - 1)
+        w3 = which[:, None, None]
+        l_sel = jnp.take_along_axis(ldir, w3, axis=1)[:, 0, :]
+        c_sel = jnp.take_along_axis(contrib, w3, axis=1)[:, 0, :] * np_
+        t_sel = jnp.take_along_axis(dist_sq, which[:, None], axis=1)[:, 0]
+        # reference quirk: tmax = dist^2 - EPSILON (Core/Renderer.cpp:257)
+        point_one = (l_sel, t_sel - EPSILON, c_sel / p_point)
+    elif lights.n_point > 0 and p_point > 0:
         np_ = lights.n_point
         lvec = lights.point_pos[None, :, :] - point[:, None, :]      # (B, NP, 3)
         dist_sq = jnp.sum(lvec * lvec, axis=-1)
@@ -220,13 +245,19 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_sel, v, material, cfg.brdf)
         result = result + jnp.where(pick_point[:, None], bsdf * point_contrib, 0.0)
 
-    # ---- directional / spot / area: one shared per-lane occlusion pass -----
+    # ---- directional / spot / area (+ single-ray point): one shared
+    # per-lane occlusion pass ------------------------------------------------
     any_other = (lights.n_dir > 0 and p_dir > 0) or (lights.n_spot > 0 and p_spot > 0) \
-        or (lights.n_area > 0 and p_area > 0)
+        or (lights.n_area > 0 and p_area > 0) or point_one is not None
     if any_other:
         l_dir = jnp.zeros((B, 3), point.dtype)
         t_other = jnp.zeros((B,), point.dtype)
         contrib_other = zeros
+        if point_one is not None:
+            l_sel, t_sel, c_sel = point_one
+            l_dir = jnp.where(pick_point[:, None], l_sel, l_dir)
+            t_other = jnp.where(pick_point, t_sel, t_other)
+            contrib_other = jnp.where(pick_point[:, None], c_sel, contrib_other)
         # area-light sampling shares the lane's slot in the occlusion pass
         if lights.n_dir > 0 and p_dir > 0:
             lvec = lights.dir_pos[0][None, :] - point
@@ -273,7 +304,10 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         occ = _anyhit(jax.tree.map(sg, Accel(scene.bvh, scene.dense)), cfg,
                       sg(so), sg(l_dir), sg(t_other), sort=True)
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_dir, v, material, cfg.brdf)
-        other = jnp.where(((~occ) & (pick_dir | pick_spot | pick_area))[:, None],
+        picked = pick_dir | pick_spot | pick_area
+        if point_one is not None:
+            picked = picked | pick_point
+        other = jnp.where(((~occ) & picked)[:, None],
                           bsdf * contrib_other, 0.0)
         result = result + other
 

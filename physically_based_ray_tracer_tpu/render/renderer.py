@@ -126,10 +126,12 @@ class Renderer:
             self.film, avg = self._frame(
                 self.scene, self.camera, film=self.film, key=key,
                 sample=self.sample, pixel_ids=self._pixel_ids)
-            avg = jax.block_until_ready(avg)
+            # device->host fetch inside the timed region: block_until_ready
+            # alone does not guarantee completion on relay-attached devices
+            avg = np.asarray(avg)
         self.sample += 1
         self.stats.update(t.ms, ray_count(self.config, self.config.n_pixels))
-        return self._assemble(np.asarray(avg))
+        return self._assemble(avg)
 
     def _assemble(self, avg_flat: np.ndarray) -> np.ndarray:
         """Scatter film-order samples back into raster order, post-process."""

@@ -38,19 +38,35 @@ class FrameStats:
             self.alpha *= 0.5
 
 
-def ray_count(config, n_pixels: int, spp: int = 1) -> int:
-    """Actual rays traced per frame for a given config.
+def ray_count(config, n_pixels: int, spp: int = 1,
+              n_point_lights: int = 4) -> int:
+    """Expected rays actually traced per frame — THE single accounting
+    function shared by bench.py, FrameStats and parallel/scaling.py
+    (one honest metric, unlike the reference's pixels/ms readout,
+    Core/Renderer.cpp:473).
 
-    Per path vertex: 1 extension ray; NEE adds shadow rays (4 when the point
-    branch is selected, else 1 — we count the expectation as the reference's
-    fixed mix 0.3*4 + 0.7*1 is data-independent in expectation; for bench we
-    count the deterministic upper bound of 1 shadow ray per vertex and report
-    both).
+    Per path vertex (per AA sub-path, per bounce):
+      * 1 closest-hit extension ray (the first one is the primary ray);
+      * stochastic NEE (Core/Renderer.cpp:205-214): with prob P_POINT the
+        point branch traces ``n_point_lights`` shadow rays; otherwise the
+        dir/spot/area branch traces 1. Expectation: 0.3*NP + 0.7.
+        Dead occlusion lanes (tmax=0, sorted into no-op tiles) are NOT
+        counted — this is expected *live* rays, a lower bound on lanes
+        launched;
+      * non-stochastic fallback traces 1 directional shadow ray.
     """
-    primary = n_pixels * spp * (2 if config.antialias else 1)
-    vertices = primary * config.bounces
-    shadow = vertices if config.lighted else 0
-    return vertices + shadow
+    from physically_based_ray_tracer_tpu.config import P_POINT
+
+    paths = n_pixels * spp * (2 if config.antialias else 1)
+    vertices = paths * config.bounces
+    if not config.lighted:
+        shadow = 0.0
+    elif config.stochastic_lights and not config.one_shadow_ray:
+        shadow = vertices * (P_POINT * n_point_lights + (1.0 - P_POINT))
+    else:
+        # one_shadow_ray estimator / non-stochastic: exactly 1 per vertex
+        shadow = float(vertices)
+    return int(vertices + shadow)
 
 
 class DeviceTimer:

@@ -37,10 +37,18 @@ def test_build_dense_structure():
     dbvh, depth = build_dense(tri, leaf_target=32)
     assert dbvh.groups.shape[1] == LEAF_W
     assert dbvh.n_nodes >= 1 and depth >= 1
-    # every original prim appears exactly once across groups
-    prims = np.asarray(dbvh.groups).reshape(-1, 16, LEAF_W)[:, 9, :].ravel()
-    real = np.sort(prims[prims >= 0]).astype(np.int64)
+    # every original prim appears across groups (cyclic replication means a
+    # prim may appear several times within its own group — never across two)
+    grp = np.asarray(dbvh.groups).reshape(-1, 16, LEAF_W)[:, 9, :]
+    real = np.unique(grp[grp >= 0]).astype(np.int64)
     np.testing.assert_array_equal(real, np.arange(tri.shape[0]))
+    for row in grp:
+        ids = np.unique(row[row >= 0])
+        # within one group the replication is exact cyclic tiling
+        k = len(ids)
+        c = 1 << int(np.ceil(np.log2(max(k, 1))))
+        block = row[:c]
+        np.testing.assert_array_equal(row, np.tile(block, LEAF_W // c))
 
 
 @pytest.mark.parametrize("n_rays", [777, 2048])
