@@ -1,27 +1,43 @@
 """Fused Pallas BVH traversal megakernel (dense-leaf BVH, bvh/dense.py).
 
 This is the production traversal path on TPU — the role tinybvh's AVX2
-BVH8_CPU::Intersect/IsOccluded plays in the reference
-(Core/tiny_bvh.h:6302-6636), redesigned for the (8, 128)-lane VPU:
+BVH8_CPU::Intersect/IsOccluded + TLAS dispatch plays in the reference
+(Core/tiny_bvh.h:6302-6636, :2500-2565), redesigned for the (8, 128)-lane
+VPU:
 
   * grid over *tiles* of 1024 rays; each program owns one tile and runs it
     to completion — no global lockstep, stragglers only stall their own
-    program (the round-1 XLA wave engine iterated ALL tiles until the
-    slowest finished, ops/traverse_packet.py);
+    program;
   * one shared traversal stack per tile in SMEM; node fetches are ~14
     scalar SMEM reads — no gathers;
   * per-lane slab tests against both children on the full (8, 128) tile,
-    reduced to scalar decisions (any/min) — exact culling, not the
-    conservative interval frusta of the wave engine;
-  * leaf = dense 128-triangle group, component-major (12 rows x 128 lanes):
-    the tile tests 1024 rays x 128 triangles by rolling the triangle lanes
-    128 times — every op is a full-width (8, 128) VPU op, zero gathers,
-    zero per-lane extracts;
+    reduced to scalar decisions (any/min) — exact culling;
+  * leaf = dense component-major triangle group (12 rows x 128 lanes): the
+    tile tests 1024 rays x c triangles by rolling the triangle lanes c
+    times (c = power-of-two replication period, bvh/dense.py) — every op is
+    a full-width (8, 128) VPU op, zero gathers, zero per-lane extracts;
   * ordered near-first descent with per-lane best-t pruning (closest) or
-    any-hit early exit (occlusion), mirroring IsOccluded semantics.
+    any-hit early exit (occlusion), mirroring IsOccluded semantics;
+  * TWO-LEVEL (TLAS) traversal: an instance leaf transforms the whole ray
+    tile into object space (12 scalar MACs on (8,128) registers), pushes a
+    RESTORE sentinel, and descends into the shared BLAS subtree; the
+    sentinel pop returns the tile to world space. Exactly the role of
+    tinybvh's IntersectTLAS leaf dispatch (Core/tiny_bvh.h:2530-2543) with
+    the inverse-transform cached per instance (BLASInstance,
+    Core/tiny_bvh.h:1243-1256). Hit t is invariant under the affine
+    transform (direction is transformed un-normalized), so best-t pruning
+    carries across levels.
 
-Node tables live in SMEM when they fit (<= ~200 KB, i.e. ~3k nodes — dense
-leaves keep node counts tiny) and fall back to VMEM row reads above that.
+Memory placement: node table in SMEM when it fits (~3k nodes), else VMEM
+rows. Leaf groups in VMEM when the table fits the ~16 MB/core budget, else
+HBM with a per-visit async DMA into a VMEM scratch block.
+
+Leaf child encoding (must match bvh/dense.py):
+    code >= 0            -> internal node index
+    code < 0, v=-(code+1):
+        v & 1 == 0       -> triangle leaf, v>>1 = group*8 + log2(period)
+        v & 1 == 1       -> instance leaf, v>>1 = instance id
+                            (id RESTORE_ID = the sentinel)
 """
 
 from __future__ import annotations
@@ -33,15 +49,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from physically_based_ray_tracer_tpu.bvh.dense import (DenseBVH, GROUP_ROWS,
-                                                       LEAF_W, NODE_F)
+from physically_based_ray_tracer_tpu.bvh.dense import (ABSENT, DenseBVH,
+                                                       GROUP_ROWS, INST_F,
+                                                       NODE_F, RESTORE_ID)
 from physically_based_ray_tracer_tpu.config import BVH_FAR
 from physically_based_ray_tracer_tpu.ops.intersect import Hit
 
 TILE = 1024            # rays per program: one (8, 128) vreg block
 DONE = 0x7FFFFFFF      # python ints/floats: jnp constants would be captured
 BIG = 1e30             # as pallas_call closure constants (disallowed)
-SMEM_NODE_LIMIT = 3072  # nodes; 3072*16*4 B = 192 KB of SMEM
+SMEM_NODE_LIMIT = 3072     # nodes; 3072*16*4 B = 192 KB of SMEM
+VMEM_GROUP_LIMIT = 1280    # groups; 1280*16*128*4 B = 10.5 MB of VMEM
 
 
 def _roll1(x, interpret):
@@ -81,87 +99,110 @@ def _slab(o, rd, lo, hi, t_clip):
     return h, tn
 
 
-def _traverse_kernel(nodes_ref, groups_ref,
+def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                     t_ref, u_ref, v_ref, prim_ref,
-                     stack_ref, *, closest, smem_nodes, max_steps, interpret):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+                     t_ref, u_ref, v_ref, prim_ref, iout_ref,
+                     stack_ref, *scratch, closest, smem_nodes, groups_hbm,
+                     max_steps, interpret):
+    if groups_hbm:
+        gscratch, gsem = scratch
+    wx, wy, wz = ox_ref[:], oy_ref[:], oz_ref[:]
+    wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
     tmax = tmax_ref[:]
-    o3 = (ox, oy, oz)
-    rd3 = (_rcp(dx), _rcp(dy), _rcp(dz))
 
     t_ref[:] = tmax if closest else jnp.zeros_like(tmax)
     u_ref[:] = jnp.zeros_like(tmax)
     v_ref[:] = jnp.zeros_like(tmax)
     prim_ref[:] = jnp.full(tmax.shape, -1, jnp.int32)
+    iout_ref[:] = jnp.full(tmax.shape, -1, jnp.int32)
     # occlusion mode reuses t_ref as the "occluded" mask (0/1 as float)
 
     rn = functools.partial(_read_node, nodes_ref, smem=smem_nodes)
 
-    def leaf_visit(v):
-        # leaf code v = g * 8 + log2(c): group id + replication period
-        # (bvh/dense.py variable-count leaves — sweep only c iterations)
+    def leaf_visit(v, inst, rays):
+        # v = g * 8 + log2(c): group id + replication period (bvh/dense.py
+        # variable-count leaves — sweep only c iterations)
+        ox, oy, oz, dx, dy, dz = rays[:6]
         g = v // 8
         count = jnp.int32(1) << (v % 8)
         base = g * GROUP_ROWS
-        blk = groups_ref[pl.ds(base, 12), :]        # (12, 128)
+        if groups_hbm:
+            cp = pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, 12), :], gscratch, gsem)
+            cp.start()
+            cp.wait()
+            blk = gscratch[:]
+        else:
+            blk = groups_ref[pl.ds(base, 12), :]        # (12, 128)
         comps0 = [blk[i:i + 1, :] for i in range(10)]
+
+        def mt(comps):
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, opr) = comps
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            uu = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            base_ok = ((jnp.abs(det) > 1e-9) & (uu >= 0.0) & (vv >= 0.0)
+                       & (uu + vv <= 1.0) & (tt > 0.0))
+            return uu, vv, tt, base_ok, opr
 
         if closest:
             def lbody(k, comps):
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, opr) = comps
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                uu = (tx * px + ty * py + tz * pz) * inv
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                vv = (dx * qx + dy * qy + dz * qz) * inv
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                uu, vv, tt, base_ok, opr = mt(comps)
                 t_cur = t_ref[:]
-                ok = ((jnp.abs(det) > 1e-9) & (uu >= 0.0) & (vv >= 0.0)
-                      & (uu + vv <= 1.0) & (tt > 0.0) & (tt < t_cur))
+                ok = base_ok & (tt < t_cur)
                 t_ref[:] = jnp.where(ok, tt, t_cur)
                 u_ref[:] = jnp.where(ok, uu, u_ref[:])
                 v_ref[:] = jnp.where(ok, vv, v_ref[:])
                 prim_ref[:] = jnp.where(ok, opr.astype(jnp.int32), prim_ref[:])
+                iout_ref[:] = jnp.where(ok, inst, iout_ref[:])
                 return [_roll1(c, interpret) for c in comps]
-
-            jax.lax.fori_loop(0, count, lbody, comps0)
         else:
             def lbody(k, comps):
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, opr) = comps
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                uu = (tx * px + ty * py + tz * pz) * inv
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                vv = (dx * qx + dy * qy + dz * qz) * inv
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-                ok = ((jnp.abs(det) > 1e-9) & (uu >= 0.0) & (vv >= 0.0)
-                      & (uu + vv <= 1.0) & (tt > 0.0) & (tt < tmax))
+                _, _, tt, base_ok, _ = mt(comps)
+                ok = base_ok & (tt < tmax)
                 t_ref[:] = jnp.where(ok, jnp.float32(1.0), t_ref[:])
                 return [_roll1(c, interpret) for c in comps]
 
-            jax.lax.fori_loop(0, count, lbody, comps0)
+        jax.lax.fori_loop(0, count, lbody, comps0)
+
+    def world_rays():
+        rdx, rdy, rdz = _rcp(wdx), _rcp(wdy), _rcp(wdz)
+        return (wx, wy, wz, wdx, wdy, wdz, rdx, rdy, rdz)
+
+    def enter_instance(idx):
+        """Transform the tile into instance idx's object space; returns
+        (rays, blas_root_code). inst_ref_smem row: 12-float inverse 3x4 +
+        root code + pads (bvh/dense.py INST_F layout)."""
+        b = idx * INST_F
+        a = [inst_ref_smem[b + k] for k in range(12)]
+        root = inst_ref_smem[b + 12].astype(jnp.int32)
+        ox = a[0] * wx + a[1] * wy + a[2] * wz + a[3]
+        oy = a[4] * wx + a[5] * wy + a[6] * wz + a[7]
+        oz = a[8] * wx + a[9] * wy + a[10] * wz + a[11]
+        dx = a[0] * wdx + a[1] * wdy + a[2] * wdz
+        dy = a[4] * wdx + a[5] * wdy + a[6] * wdz
+        dz = a[8] * wdx + a[9] * wdy + a[10] * wdz
+        return (ox, oy, oz, dx, dy, dz, _rcp(dx), _rcp(dy), _rcp(dz)), root
 
     def body(carry):
-        i, cur, sp = carry
+        i, cur, sp, inst, rays = carry
         is_leaf = cur < 0
+        v = jnp.where(is_leaf, -(cur + 1), 0)
+        is_inst = is_leaf & (v % 2 == 1)
+        iid = v // 2
+        is_restore = is_inst & (iid == RESTORE_ID)
+        is_tri = is_leaf & ~is_inst
         ncur = jnp.where(is_leaf, 0, cur)
 
         if closest:
@@ -175,10 +216,14 @@ def _traverse_kernel(nodes_ref, groups_ref,
         hi1 = (rn(ncur, 9), rn(ncur, 10), rn(ncur, 11))
         c0 = rn(ncur, 12).astype(jnp.int32)
         c1 = rn(ncur, 13).astype(jnp.int32)
+        o3 = rays[:3]
+        rd3 = rays[6:9]
         h0, tn0 = _slab(o3, rd3, lo0, hi0, t_clip)
         h1, tn1 = _slab(o3, rd3, lo1, hi1, t_clip)
-        any0 = jnp.any(h0)
-        any1 = jnp.any(h1)
+        # absent slots need the explicit code check: the min/max slab test
+        # is lo/hi-symmetric, so no box encoding can reject every ray
+        any0 = jnp.any(h0) & (c0 != ABSENT)
+        any1 = jnp.any(h1) & (c1 != ABSENT)
         m0 = jnp.min(jnp.where(h0, tn0, BIG))
         m1 = jnp.min(jnp.where(h1, tn1, BIG))
         swap = m1 < m0
@@ -187,9 +232,9 @@ def _traverse_kernel(nodes_ref, groups_ref,
         near_ok = jnp.where(swap, any1, any0)
         far_ok = jnp.where(swap, any0, any1)
 
-        push = near_ok & far_ok & ~is_leaf
+        push = push_far = near_ok & far_ok & ~is_leaf
 
-        @pl.when(push)
+        @pl.when(push_far)
         def _():
             stack_ref[sp] = far
 
@@ -198,26 +243,47 @@ def _traverse_kernel(nodes_ref, groups_ref,
         nxt = jnp.where(near_ok, near, jnp.where(far_ok, far, done_c))
         nxt = jnp.where(is_leaf, done_c, nxt)
 
-        @pl.when(is_leaf)
+        @pl.when(is_tri)
         def _():
-            leaf_visit(-(cur + 1))
+            leaf_visit(v // 2, inst, rays)
+
+        # --- instance enter / restore (rare; scalar-guarded) ---------------
+        enter = is_inst & ~is_restore
+        new_inst = jnp.where(enter, iid, jnp.where(is_restore, -1, inst))
+        # RESTORE sentinel below the BLAS subtree on the stack
+        sent = jnp.int32(-((RESTORE_ID * 2 + 1) + 1))
+
+        @pl.when(enter)
+        def _():
+            stack_ref[sp2] = sent
+
+        sp2b = jnp.where(enter, sp2 + 1, sp2)
+        obj_rays, obj_root = jax.lax.cond(
+            enter,
+            lambda: enter_instance(iid),
+            lambda: (rays, jnp.int32(0)))
+        new_rays = jax.lax.cond(
+            is_restore, world_rays, lambda: obj_rays)
+        nxt = jnp.where(enter, obj_root, nxt)
 
         need_pop = nxt == DONE
-        can_pop = need_pop & (sp2 > 0)
-        top = stack_ref[jnp.maximum(sp2 - 1, 0)]
+        can_pop = need_pop & (sp2b > 0)
+        top = stack_ref[jnp.maximum(sp2b - 1, 0)]
         nxt = jnp.where(can_pop, top, nxt)
-        sp3 = jnp.where(can_pop, sp2 - 1, sp2)
+        sp3 = jnp.where(can_pop, sp2b - 1, sp2b)
         if not closest:
             # whole-tile early exit once every live lane is occluded
             done = jnp.all((t_ref[:] > 0.0) | (tmax <= 0.0))
             nxt = jnp.where(done, done_c, nxt)
-        return i + 1, nxt, sp3
+        return i + 1, nxt, sp3, new_inst, new_rays
 
     def cond(carry):
-        i, cur, _ = carry
+        i, cur, _, _, _ = carry
         return (cur != DONE) & (i < max_steps)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    jax.lax.while_loop(cond, body,
+                       (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                        jnp.int32(-1), world_rays()))
 
 
 def _pack(x, n_prog, pad, fill=0.0):
@@ -231,8 +297,10 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
     n_prog = -(-B // TILE)
     pad = n_prog * TILE - B
     n_nodes = dbvh.nodes16.shape[0] // NODE_F
+    n_groups = dbvh.groups.shape[0] // GROUP_ROWS
     smem_nodes = n_nodes <= SMEM_NODE_LIMIT
-    max_steps = 4 * n_nodes + 64
+    groups_hbm = n_groups > VMEM_GROUP_LIMIT
+    max_steps = 8 * n_nodes + 64
 
     ox = _pack(o[:, 0], n_prog, pad)
     oy = _pack(o[:, 1], n_prog, pad)
@@ -244,56 +312,67 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
 
     nodes = dbvh.nodes16 if smem_nodes else dbvh.nodes16.reshape(-1, NODE_F)
     node_space = pltpu.SMEM if smem_nodes else pltpu.VMEM
+    group_space = pltpu.ANY if groups_hbm else pltpu.VMEM
     ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_traverse_kernel, closest=closest,
-                             smem_nodes=smem_nodes, max_steps=max_steps,
-                             interpret=interpret)
+                             smem_nodes=smem_nodes, groups_hbm=groups_hbm,
+                             max_steps=max_steps, interpret=interpret)
     shape = (n_prog * 8, 128)
-    t, u, v, prim = pl.pallas_call(
+    scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
+    if groups_hbm:
+        scratch += [pltpu.VMEM((12, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA]
+    t, u, v, prim, inst = pl.pallas_call(
         kern,
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec(memory_space=node_space),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=group_space),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             ray_spec,
         ],
-        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(nodes, dbvh.groups, ox, oy, oz, dx, dy, dz, tm)
-    return (x.reshape(-1)[:B] for x in (t, u, v, prim))
+    )(nodes, dbvh.groups, dbvh.inst16, ox, oy, oz, dx, dy, dz, tm)
+    return (x.reshape(-1)[:B] for x in (t, u, v, prim, inst))
 
 
 def intersect_closest_dense(dbvh: DenseBVH, o, d, t_max=None, *,
                             interpret=False, **_ignored) -> Hit:
     """Closest-hit traversal; o, d: (B, 3). Returns Hit with prim in
-    original triangle order (ids baked into the leaf groups)."""
+    original triangle order (ids baked into the leaf groups) and inst = the
+    instance id for two-level tables (0 for single-level)."""
     B = o.shape[0]
     if t_max is None:
         t_max = jnp.full((B,), BVH_FAR, o.dtype)
-    t, u, v, prim = _call_kernel(dbvh, o, d, t_max, closest=True,
-                                 interpret=interpret)
+    t, u, v, prim, inst = _call_kernel(dbvh, o, d, t_max, closest=True,
+                                       interpret=interpret)
     found = prim >= 0
+    # shared-BLAS prim ids are mesh-local; map to the scene's global
+    # per-instance-concatenated order (bvh/dense.py prim_base)
+    base = jnp.take(dbvh.prim_base, jnp.maximum(inst, 0), mode="clip")
     return Hit(t=jnp.where(found, t, BVH_FAR),
                u=jnp.where(found, u, 0.0),
                v=jnp.where(found, v, 0.0),
-               prim=prim,
-               inst=jnp.where(found, 0, -1))
+               prim=jnp.where(found, prim + base, -1),
+               inst=jnp.where(found, jnp.maximum(inst, 0), -1))
 
 
 def intersect_any_dense(dbvh: DenseBVH, o, d, t_max, *,
                         interpret=False, **_ignored) -> jnp.ndarray:
     """Occlusion query: True where a hit exists with t in (0, t_max)."""
-    t, _, _, _ = _call_kernel(dbvh, o, d, t_max, closest=False,
-                              interpret=interpret)
+    t, _, _, _, _ = _call_kernel(dbvh, o, d, t_max, closest=False,
+                                 interpret=interpret)
     return t > 0.0
 
 

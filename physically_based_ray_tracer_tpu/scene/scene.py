@@ -1,13 +1,18 @@
 """Scene assembly: models + instances -> device-resident SceneData.
 
 TPU-native re-design of the reference's Scene/Model/GameObject stack
-(Core/Scene.cpp, Core/Model.cpp, Core/GameObject.cpp). Key departure
-(SURVEY.md §7): instead of a per-frame TLAS over BLAS instances, static
-scenes bake instance transforms into world space on the host and build ONE
-flattened BVH — single-level traversal is far cheaper on a lockstep vector
-machine, and physics-driven per-frame instance motion is out of scope
-(BASELINE.json). `rebuild()` re-bakes when transforms change (the analogue of
-Scene::BuildTLAS, Core/Scene.cpp:220-223).
+(Core/Scene.cpp, Core/Model.cpp, Core/GameObject.cpp). Two build modes:
+
+  * build_scene (static): bakes instance transforms into world space on the
+    host and builds ONE flattened BVH — single-level traversal is cheapest
+    on a lockstep vector machine when nothing moves.
+  * build_scene_instanced (dynamic): shared BLAS per model + TLAS over
+    instances in the dense/Pallas structure (the reference's
+    BLASInstance/TLAS design, Core/tiny_bvh.h:1732-1770) — each mesh's BVH
+    is stored ONCE, and rebuild_scene() refreshes only the TLAS head +
+    instance table + the small world-space shading arrays when transforms
+    change (the analogue of the per-frame Scene::BuildTLAS,
+    Core/Scene.cpp:220-223).
 """
 
 from __future__ import annotations
@@ -19,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from physically_based_ray_tracer_tpu.bvh.builder import build_bvh, bvh_depth
-from physically_based_ray_tracer_tpu.bvh.dense import DenseBVH, build_dense
+from physically_based_ray_tracer_tpu.bvh.dense import (DenseBVH, TLASMeta,
+                                                       build_dense,
+                                                       build_dense_tlas,
+                                                       refresh_tlas)
 from physically_based_ray_tracer_tpu.bvh.types import BVHArrays
 from physically_based_ray_tracer_tpu.scene.lights import LightSet
 from physically_based_ray_tracer_tpu.utils.math import (compose_trs,
@@ -112,15 +120,9 @@ class SceneData(NamedTuple):
         return self.tri_v0.shape[0]
 
 
-def build_scene(models: list[MeshModel], instances: list[Instance],
-                lights: LightSet | None = None, sky: np.ndarray | None = None,
-                leaf_size: int = 16, dense_leaf_target: int = 64,
-                ) -> tuple[SceneData, int]:
-    """Bake instances to world space, build the flattened BVH, upload.
-
-    Returns (scene_data, bvh_depth) — the depth feeds the static traversal
-    stack bound.
-    """
+def _bake_world(models, instances):
+    """World-space shading arrays in per-instance-concatenated prim order
+    (Core/GameObject.cpp:55-69 transform composition applied host-side)."""
     all_corners, all_normals, all_uvs, all_face_n = [], [], [], []
     prim_model, prim_inst = [], []
     for inst_id, inst in enumerate(instances):
@@ -138,18 +140,19 @@ def build_scene(models: list[MeshModel], instances: list[Instance],
         all_face_n.append(wf.astype(np.float32))
         prim_model.append(np.full(mdl.n_tris, inst.model, np.int32))
         prim_inst.append(np.full(mdl.n_tris, inst_id, np.int32))
-
     corners = np.concatenate(all_corners)
     tri = corners.reshape(-1, 3, 3)
-    v0 = tri[:, 0]
-    e1 = tri[:, 1] - v0
-    e2 = tri[:, 2] - v0
+    return dict(
+        tri=tri,
+        face_n=np.concatenate(all_face_n),
+        normals=np.concatenate(all_normals),
+        uvs=np.concatenate(all_uvs),
+        prim_model=np.concatenate(prim_model),
+        prim_inst=np.concatenate(prim_inst),
+    )
 
-    bvh = build_bvh(tri, leaf_size=leaf_size)
-    depth = bvh_depth(bvh)
-    dense, _ = build_dense(tri, leaf_target=dense_leaf_target)
 
-    # texture pool
+def _texture_pool(models):
     pool_parts: list[np.ndarray] = []
     tex_record = np.full((len(models), 4, 3), -1, np.int32)
     offset = 0
@@ -165,20 +168,25 @@ def build_scene(models: list[MeshModel], instances: list[Instance],
             offset += w * h
     texel_pool = (np.concatenate(pool_parts) if pool_parts
                   else np.zeros((1,), np.uint32))
+    return tex_record, texel_pool
 
+
+def _assemble(models, bvh, dense, baked, lights, sky):
+    tri = baked["tri"]
+    v0 = tri[:, 0]
+    tex_record, texel_pool = _texture_pool(models)
     if sky is None:
         sky = np.zeros((1, 1, 3), np.float32)
-
     f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
-    data = SceneData(
-        bvh=bvh.to_device(),
+    return SceneData(
+        bvh=bvh,
         dense=dense,
-        tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2),
-        face_normal=f32(np.concatenate(all_face_n)),
-        corner_normal=f32(np.concatenate(all_normals)),
-        corner_uv=f32(np.concatenate(all_uvs)),
-        prim_model=jnp.asarray(np.concatenate(prim_model)),
-        prim_inst=jnp.asarray(np.concatenate(prim_inst)),
+        tri_v0=f32(v0), tri_e1=f32(tri[:, 1] - v0), tri_e2=f32(tri[:, 2] - v0),
+        face_normal=f32(baked["face_n"]),
+        corner_normal=f32(baked["normals"]),
+        corner_uv=f32(baked["uvs"]),
+        prim_model=jnp.asarray(baked["prim_model"]),
+        prim_inst=jnp.asarray(baked["prim_inst"]),
         mat_base=f32([m.base_color for m in models]),
         mat_metal=f32([m.metalness for m in models]),
         mat_rough=f32([m.roughness for m in models]),
@@ -191,4 +199,98 @@ def build_scene(models: list[MeshModel], instances: list[Instance],
         lights=(lights if lights is not None else LightSet.make()),
         sky=f32(sky),
     )
+
+
+def build_scene(models: list[MeshModel], instances: list[Instance],
+                lights: LightSet | None = None, sky: np.ndarray | None = None,
+                leaf_size: int = 16, dense_leaf_target: int = 64,
+                ) -> tuple[SceneData, int]:
+    """Bake instances to world space, build the flattened BVH, upload.
+
+    Returns (scene_data, bvh_depth) — the depth feeds the static traversal
+    stack bound.
+    """
+    baked = _bake_world(models, instances)
+    bvh = build_bvh(baked["tri"], leaf_size=leaf_size)
+    depth = bvh_depth(bvh)
+    dense, _ = build_dense(baked["tri"], leaf_target=dense_leaf_target)
+    data = _assemble(models, bvh.to_device(), dense, baked, lights, sky)
     return data, depth
+
+
+@dataclass
+class InstancedScene:
+    """Host-side handle for a two-level scene: what rebuild_scene() needs to
+    track instance motion without re-uploading BLAS/group tables."""
+
+    models: list[MeshModel]
+    instances: list[Instance]
+    tlas_meta: TLASMeta
+    leaf_size: int
+    legacy_bvh: bool
+
+
+def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
+                          lights: LightSet | None = None,
+                          sky: np.ndarray | None = None,
+                          leaf_size: int = 16, dense_leaf_target: int = 64,
+                          legacy_bvh: bool = True,
+                          ) -> tuple[SceneData, InstancedScene, int]:
+    """Two-level build: shared BLAS per model + TLAS over instances.
+
+    Each model's triangles live ONCE in the dense/Pallas structure (the
+    BLASInstance design, Core/tiny_bvh.h:1243-1256); only the small
+    world-space shading arrays are per-instance. ``legacy_bvh=False`` skips
+    the world-baked single-level BVH used by the non-Pallas engines (pass it
+    only when cfg.traversal == "pallas"); a 1-triangle placeholder keeps the
+    pytree shape.
+
+    Returns (scene_data, instanced_handle, depth).
+    """
+    baked = _bake_world(models, instances)
+    mesh_tris = [m.corners.reshape(-1, 3, 3).astype(np.float32)
+                 for m in models]
+    inst_mesh = np.array([i.model for i in instances], np.int64)
+    transforms = np.stack([i.transform for i in instances]).astype(np.float32)
+    dense, meta, ddepth = build_dense_tlas(mesh_tris, inst_mesh, transforms,
+                                           leaf_target=dense_leaf_target)
+    if legacy_bvh:
+        bvh = build_bvh(baked["tri"], leaf_size=leaf_size)
+        depth = max(bvh_depth(bvh), ddepth)
+    else:
+        bvh = build_bvh(np.zeros((1, 3, 3), np.float32) , leaf_size=leaf_size)
+        depth = ddepth
+    data = _assemble(models, bvh.to_device(), dense, baked, lights, sky)
+    handle = InstancedScene(models=models, instances=list(instances),
+                            tlas_meta=meta, leaf_size=leaf_size,
+                            legacy_bvh=legacy_bvh)
+    return data, handle, depth
+
+
+def rebuild_scene(data: SceneData, handle: InstancedScene,
+                  instances: list[Instance]) -> SceneData:
+    """Refresh after instance transform changes (Scene::BuildTLAS analogue,
+    Core/Scene.cpp:220-223): rewrites the TLAS head + instance table on the
+    existing dense structure and re-bakes only the small world shading
+    arrays — BLAS nodes and leaf groups are NOT rebuilt or re-uploaded.
+
+    Mesh membership must be unchanged (same models per instance slot)."""
+    assert len(instances) == len(handle.instances)
+    assert all(a.model == b.model for a, b in zip(instances, handle.instances))
+    transforms = np.stack([i.transform for i in instances]).astype(np.float32)
+    dense = refresh_tlas(data.dense, handle.tlas_meta, transforms)
+    baked = _bake_world(handle.models, instances)
+    handle.instances = list(instances)
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    tri = baked["tri"]
+    v0 = tri[:, 0]
+    if handle.legacy_bvh:
+        bvh = build_bvh(tri, leaf_size=handle.leaf_size).to_device()
+    else:
+        bvh = data.bvh
+    return data._replace(
+        bvh=bvh, dense=dense,
+        tri_v0=f32(v0), tri_e1=f32(tri[:, 1] - v0), tri_e2=f32(tri[:, 2] - v0),
+        face_normal=f32(baked["face_n"]),
+        corner_normal=f32(baked["normals"]),
+    )
