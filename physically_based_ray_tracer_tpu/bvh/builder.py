@@ -81,18 +81,23 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
         nodes_child[parent, side] = encode_leaf(first, count)
 
     def split_segment(s, e):
-        """Return (axis_mid, left_end) or None if the segment should be a leaf."""
+        """Return (axis_mid, left_end) or None if the segment should be a leaf.
+
+        Segments at or under ``leaf_size`` still evaluate the SAH cost
+        comparison — a split happens when it is cheaper than the leaf
+        (tiny_bvh.h:1893 termination; round-1 had this branch dead because
+        small segments returned early)."""
         seg = order[s:e]
         count = e - s
-        if count <= leaf_size:
+        if count == 1:
             return None
         c = centroid[seg]
         cmin = c.min(axis=0)
         cmax = c.max(axis=0)
         ext = cmax - cmin
         if not np.any(ext > 1e-12):
-            # all centroids identical: median split to bound leaf size
-            return (None, s + count // 2)
+            # all centroids identical: leaf if it fits, else median split
+            return None if count <= leaf_size else (None, s + count // 2)
 
         # binned SAH over all 3 axes at once (tiny_bvh.h:1841-1934 algorithm)
         scale = np.where(ext > 1e-12, BINS * 0.9999 / np.where(ext > 0, ext, 1.0), 0.0)
@@ -124,21 +129,21 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
             if cost[b] < best[0]:
                 best = (float(cost[b]), ax, b)
 
+        if best[1] < 0:
+            return None if count <= leaf_size else (None, s + count // 2)
         node_min, node_max = seg_bounds(seg)
         parent_area = _surface_area(node_min, node_max)
         leaf_cost = C_INT * parent_area * count
         split_cost = C_TRAV * parent_area + C_INT * best[0]
-        if best[1] < 0 or (split_cost >= leaf_cost and count <= leaf_size):
-            return None
-        if best[1] < 0:
-            return (None, s + count // 2)
+        if count <= leaf_size and split_cost >= leaf_cost:
+            return None   # SAH termination: leaf is cheaper than splitting
 
         ax, b = best[1], best[2]
         go_left = bin_id[:, ax] <= b
         left = seg[go_left]
         right = seg[~go_left]
         if len(left) == 0 or len(right) == 0:
-            return (None, s + count // 2)
+            return None if count <= leaf_size else (None, s + count // 2)
         order[s:s + len(left)] = left
         order[s + len(left):e] = right
         return (ax, s + len(left))
@@ -179,14 +184,10 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
         nodes_box[node, 3:6] = lmax
         nodes_box[node, 6:9] = rmin
         nodes_box[node, 9:12] = rmax
-        if (mid - s) <= leaf_size:
-            make_leaf(node, 0, s, mid)
-        else:
-            stack.append((s, mid, node, 0))
-        if (e - mid) <= leaf_size:
-            make_leaf(node, 1, mid, e)
-        else:
-            stack.append((mid, e, node, 1))
+        # children re-enter split_segment so small segments still get the
+        # SAH split-vs-leaf comparison instead of forced leaf creation
+        stack.append((s, mid, node, 0))
+        stack.append((mid, e, node, 1))
 
     # pack triangles leaf-contiguous with per-leaf padding
     P = packed_cursor if packed_cursor > 0 else leaf_size
