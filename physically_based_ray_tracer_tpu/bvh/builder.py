@@ -207,6 +207,57 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
         nodes_box[:n_nodes], nodes_child[:n_nodes], tris_packed, prim_index)
 
 
+def build_bvh_hq(triangles: np.ndarray, leaf_size: int = 4,
+                 ) -> BVHArrays | None:
+    """High-quality SBVH build (BuildHQ analogue, tiny_bvh.h:2027-2286):
+    binned object SAH + overlap-gated spatial splits with triangle-slab
+    clipping. Runs in the native builder (csrc/sbvh_builder.cpp); returns
+    None when no toolchain is available. Spatial splits may reference one
+    triangle from several leaves — prim_index carries the duplicates, which
+    closest-hit/any-hit traversal handles naturally (same t)."""
+    from physically_based_ray_tracer_tpu.bvh import native
+
+    tri = np.asarray(triangles, dtype=np.float32)
+    if tri.ndim == 2:
+        tri = tri.reshape(-1, 3, 3)
+    out = native.build_sbvh_generic(tri, leaf_size, dense_mode=False)
+    if out is None:
+        return None
+    nodes_box, children, segments = out
+
+    nodes_child = np.zeros_like(children)
+    cursor = 0
+    starts = []
+    for seg in segments:
+        starts.append(cursor)
+        cursor += leaf_size
+    INT32_MIN = np.iinfo(np.int32).min
+    for n in range(children.shape[0]):
+        for side in range(2):
+            c = int(children[n, side])
+            if c >= 0:
+                nodes_child[n, side] = c
+            elif c == INT32_MIN:
+                nodes_child[n, side] = encode_leaf(0, 0)
+            else:
+                s = -(c + 1)
+                nodes_child[n, side] = encode_leaf(starts[s], len(segments[s]))
+
+    P = max(cursor, leaf_size)
+    tris_packed = np.zeros((P, 9), dtype=np.float32)
+    prim_index = np.full((P,), -1, dtype=np.int32)
+    v0 = tri[:, 0]
+    for s, seg in enumerate(segments):
+        k = len(seg)
+        o = starts[s]
+        tris_packed[o:o + k, 0:3] = v0[seg]
+        tris_packed[o:o + k, 3:6] = tri[seg, 1] - v0[seg]
+        tris_packed[o:o + k, 6:9] = tri[seg, 2] - v0[seg]
+        prim_index[o:o + k] = seg
+    return BVHArrays.from_numpy(nodes_box, nodes_child, tris_packed,
+                                prim_index)
+
+
 def bvh_depth(bvh: BVHArrays) -> int:
     """Max tree depth (validates the static traversal stack bound)."""
     child = np.asarray(bvh.nodes_child)

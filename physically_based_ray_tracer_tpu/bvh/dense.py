@@ -255,6 +255,53 @@ def _build_core(tri: np.ndarray, leaf_target: int):
     return nodes[:n_nodes], leaf_segments, depth_max, root_lo, root_hi
 
 
+def _build_core_hq(tri: np.ndarray, leaf_target: int):
+    """SBVH build of the dense-leaf tree via the native spatial-split
+    builder (csrc/sbvh_builder.cpp, BuildHQ analogue) — same return
+    contract as _build_core. Returns None when the native toolchain is
+    unavailable (callers fall back to the binned-SAH numpy core)."""
+    from physically_based_ray_tracer_tpu.bvh import native
+
+    out = native.build_sbvh_generic(tri, min(leaf_target, LEAF_W),
+                                    dense_mode=True)
+    if out is None:
+        return None
+    nodes_box, children, segments = out
+    N = nodes_box.shape[0]
+    INT32_MIN = np.iinfo(np.int32).min
+
+    nodes = np.zeros((N, NODE_F), np.float32)
+    nodes[:, 0:12] = nodes_box
+    for n in range(N):
+        for side in range(2):
+            c = int(children[n, side])
+            if c >= 0:
+                nodes[n, 12 + side] = float(c)
+            elif c == INT32_MIN:
+                nodes[n, 12 + side] = ABSENT
+            else:
+                s = -(c + 1)
+                log2c = max(int(np.ceil(np.log2(max(len(segments[s]), 1)))), 0)
+                nodes[n, 12 + side] = _tri_code(s, log2c)
+
+    # depth + root bounds by walking the tree
+    depth = 1
+    stack = [(0, 1)]
+    while stack:
+        n, d = stack.pop()
+        depth = max(depth, d)
+        for side in range(2):
+            c = int(children[n, side])
+            if c >= 0:
+                stack.append((c, d + 1))
+    if int(children[0, 1]) == INT32_MIN:   # single-leaf root
+        root_lo, root_hi = nodes[0, 0:3].copy(), nodes[0, 3:6].copy()
+    else:
+        root_lo = np.minimum(nodes[0, 0:3], nodes[0, 6:9])
+        root_hi = np.maximum(nodes[0, 3:6], nodes[0, 9:12])
+    return nodes, segments, depth, root_lo, root_hi
+
+
 def _pack_groups(tri: np.ndarray, segments: list[np.ndarray]) -> np.ndarray:
     """Component-major leaf groups with cyclic power-of-two replication."""
     v0 = tri[:, 0]
@@ -278,19 +325,31 @@ def _pack_groups(tri: np.ndarray, segments: list[np.ndarray]) -> np.ndarray:
     return groups
 
 
-_NO_INST = np.zeros((INST_F,), np.float32)
+# single-level stub: shorter than one INST_F row, so the traversal kernel
+# statically strips all instance machinery (ops/pallas_trace.py two_level)
+_NO_INST = np.zeros((1,), np.float32)
+
+
+def _build_core_any(tri: np.ndarray, leaf_target: int, hq: bool):
+    if hq:
+        out = _build_core_hq(tri, leaf_target)
+        if out is not None:
+            return out
+    return _build_core(tri, leaf_target)
 
 
 def build_dense(triangles: np.ndarray, leaf_target: int = 64,
-                ) -> tuple["DenseBVH", int]:
+                hq: bool = False) -> tuple["DenseBVH", int]:
     """Single-level build over one triangle soup (prim ids global).
 
-    Returns (DenseBVH, depth).
+    hq=True uses the native SBVH core (spatial splits, BuildHQ analogue)
+    when the toolchain is available. Returns (DenseBVH, depth).
     """
     tri = np.asarray(triangles, np.float32)
     if tri.ndim == 2:
         tri = tri.reshape(-1, 3, 3)
-    nodes, segments, depth, root_lo, root_hi = _build_core(tri, leaf_target)
+    nodes, segments, depth, root_lo, root_hi = _build_core_any(
+        tri, leaf_target, hq)
     groups = _pack_groups(tri, segments)
     dbvh = DenseBVH(
         nodes16=jnp.asarray(nodes.reshape(-1)),
@@ -388,7 +447,7 @@ def _inst_rows(inst_mesh, transforms, blas_root):
 
 
 def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
-                     leaf_target: int = 64,
+                     leaf_target: int = 64, hq: bool = False,
                      ) -> tuple["DenseBVH", TLASMeta, int]:
     """Two-level build: one shared BLAS per mesh + TLAS over instances.
 
@@ -414,7 +473,7 @@ def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
         tri = np.asarray(tri, np.float32)
         if tri.ndim == 2:
             tri = tri.reshape(-1, 3, 3)
-        nodes, segments, dep, rlo, rhi = _build_core(tri, leaf_target)
+        nodes, segments, dep, rlo, rhi = _build_core_any(tri, leaf_target, hq)
         blas_nodes.append(nodes)
         blas_groups.append(_pack_groups(tri, segments))
         blas_lo.append(rlo)

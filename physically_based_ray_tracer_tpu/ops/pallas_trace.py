@@ -103,9 +103,18 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                      t_ref, u_ref, v_ref, prim_ref, iout_ref,
                      stack_ref, *scratch, closest, smem_nodes, groups_hbm,
-                     max_steps, interpret):
+                     two_level, max_steps, interpret):
+    # NOTE on control flow: the instance enter/restore ray re-basing must
+    # NOT be a lax.cond returning the (8,128) ray registers — Mosaic lowers
+    # that to arith.select over vectors with a scalar predicate and fails
+    # ("Null layout / non-vector operand"). Instead the current ray state
+    # lives in a VMEM scratch block (rays_ref, rows 8k..8k+8 = component k
+    # of o/d/rd) mutated under pl.when — a genuinely predicated region —
+    # and the while-loop carry stays scalar-only.
+    sc = list(scratch)
+    rays_ref = sc.pop(0) if two_level else None
     if groups_hbm:
-        gscratch, gsem = scratch
+        gscratch, gsem = sc
     wx, wy, wz = ox_ref[:], oy_ref[:], oz_ref[:]
     wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
     tmax = tmax_ref[:]
@@ -118,6 +127,17 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
     # occlusion mode reuses t_ref as the "occluded" mask (0/1 as float)
 
     rn = functools.partial(_read_node, nodes_ref, smem=smem_nodes)
+
+    wrdx, wrdy, wrdz = _rcp(wdx), _rcp(wdy), _rcp(wdz)
+    if two_level:
+        for k, comp in enumerate((wx, wy, wz, wdx, wdy, wdz,
+                                  wrdx, wrdy, wrdz)):
+            rays_ref[pl.ds(8 * k, 8), :] = comp
+
+    def read_rays():
+        if two_level:
+            return tuple(rays_ref[pl.ds(8 * k, 8), :] for k in range(9))
+        return (wx, wy, wz, wdx, wdy, wdz, wrdx, wrdy, wrdz)
 
     def leaf_visit(v, inst, rays):
         # v = g * 8 + log2(c): group id + replication period (bvh/dense.py
@@ -176,33 +196,18 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
 
         jax.lax.fori_loop(0, count, lbody, comps0)
 
-    def world_rays():
-        rdx, rdy, rdz = _rcp(wdx), _rcp(wdy), _rcp(wdz)
-        return (wx, wy, wz, wdx, wdy, wdz, rdx, rdy, rdz)
-
-    def enter_instance(idx):
-        """Transform the tile into instance idx's object space; returns
-        (rays, blas_root_code). inst_ref_smem row: 12-float inverse 3x4 +
-        root code + pads (bvh/dense.py INST_F layout)."""
-        b = idx * INST_F
-        a = [inst_ref_smem[b + k] for k in range(12)]
-        root = inst_ref_smem[b + 12].astype(jnp.int32)
-        ox = a[0] * wx + a[1] * wy + a[2] * wz + a[3]
-        oy = a[4] * wx + a[5] * wy + a[6] * wz + a[7]
-        oz = a[8] * wx + a[9] * wy + a[10] * wz + a[11]
-        dx = a[0] * wdx + a[1] * wdy + a[2] * wdz
-        dy = a[4] * wdx + a[5] * wdy + a[6] * wdz
-        dz = a[8] * wdx + a[9] * wdy + a[10] * wdz
-        return (ox, oy, oz, dx, dy, dz, _rcp(dx), _rcp(dy), _rcp(dz)), root
-
     def body(carry):
-        i, cur, sp, inst, rays = carry
+        i, cur, sp, inst = carry
+        rays = read_rays()
         is_leaf = cur < 0
         v = jnp.where(is_leaf, -(cur + 1), 0)
-        is_inst = is_leaf & (v % 2 == 1)
-        iid = v // 2
-        is_restore = is_inst & (iid == RESTORE_ID)
-        is_tri = is_leaf & ~is_inst
+        if two_level:
+            is_inst = is_leaf & (v % 2 == 1)
+            iid = v // 2
+            is_restore = is_inst & (iid == RESTORE_ID)
+            is_tri = is_leaf & ~is_inst
+        else:
+            is_tri = is_leaf
         ncur = jnp.where(is_leaf, 0, cur)
 
         if closest:
@@ -247,24 +252,48 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
         def _():
             leaf_visit(v // 2, inst, rays)
 
-        # --- instance enter / restore (rare; scalar-guarded) ---------------
-        enter = is_inst & ~is_restore
-        new_inst = jnp.where(enter, iid, jnp.where(is_restore, -1, inst))
-        # RESTORE sentinel below the BLAS subtree on the stack
-        sent = jnp.int32(-((RESTORE_ID * 2 + 1) + 1))
+        if two_level:
+            # --- instance enter / restore (rare; pl.when-predicated) -------
+            enter = is_inst & ~is_restore
+            new_inst = jnp.where(enter, iid, jnp.where(is_restore, -1, inst))
+            # RESTORE sentinel below the BLAS subtree on the stack
+            sent = jnp.int32(-((RESTORE_ID * 2 + 1) + 1))
 
-        @pl.when(enter)
-        def _():
-            stack_ref[sp2] = sent
+            @pl.when(enter)
+            def _():
+                stack_ref[sp2] = sent
 
-        sp2b = jnp.where(enter, sp2 + 1, sp2)
-        obj_rays, obj_root = jax.lax.cond(
-            enter,
-            lambda: enter_instance(iid),
-            lambda: (rays, jnp.int32(0)))
-        new_rays = jax.lax.cond(
-            is_restore, world_rays, lambda: obj_rays)
-        nxt = jnp.where(enter, obj_root, nxt)
+            sp2b = jnp.where(enter, sp2 + 1, sp2)
+            # BLAS root read is unconditional — clamp iid so the non-enter
+            # steps (iid = 0 / RESTORE_ID) never index out of bounds
+            safe_b = jnp.where(enter, iid, 0) * INST_F
+            obj_root = inst_ref_smem[safe_b + 12].astype(jnp.int32)
+
+            @pl.when(enter)
+            def _():
+                # re-base the tile into instance object space (inverse 3x4
+                # from inst_ref_smem; BLASInstance analogue)
+                a = [inst_ref_smem[safe_b + k] for k in range(12)]
+                ox = a[0] * wx + a[1] * wy + a[2] * wz + a[3]
+                oy = a[4] * wx + a[5] * wy + a[6] * wz + a[7]
+                oz = a[8] * wx + a[9] * wy + a[10] * wz + a[11]
+                dx = a[0] * wdx + a[1] * wdy + a[2] * wdz
+                dy = a[4] * wdx + a[5] * wdy + a[6] * wdz
+                dz = a[8] * wdx + a[9] * wdy + a[10] * wdz
+                for k, comp in enumerate((ox, oy, oz, dx, dy, dz,
+                                          _rcp(dx), _rcp(dy), _rcp(dz))):
+                    rays_ref[pl.ds(8 * k, 8), :] = comp
+
+            @pl.when(is_restore)
+            def _():
+                for k, comp in enumerate((wx, wy, wz, wdx, wdy, wdz,
+                                          wrdx, wrdy, wrdz)):
+                    rays_ref[pl.ds(8 * k, 8), :] = comp
+
+            nxt = jnp.where(enter, obj_root, nxt)
+        else:
+            new_inst = inst
+            sp2b = sp2
 
         need_pop = nxt == DONE
         can_pop = need_pop & (sp2b > 0)
@@ -275,15 +304,15 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
             # whole-tile early exit once every live lane is occluded
             done = jnp.all((t_ref[:] > 0.0) | (tmax <= 0.0))
             nxt = jnp.where(done, done_c, nxt)
-        return i + 1, nxt, sp3, new_inst, new_rays
+        return i + 1, nxt, sp3, new_inst
 
     def cond(carry):
-        i, cur, _, _, _ = carry
+        i, cur, _, _ = carry
         return (cur != DONE) & (i < max_steps)
 
     jax.lax.while_loop(cond, body,
                        (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                        jnp.int32(-1), world_rays()))
+                        jnp.int32(-1)))
 
 
 def _pack(x, n_prog, pad, fill=0.0):
@@ -300,6 +329,9 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
     n_groups = dbvh.groups.shape[0] // GROUP_ROWS
     smem_nodes = n_nodes <= SMEM_NODE_LIMIT
     groups_hbm = n_groups > VMEM_GROUP_LIMIT
+    # single-level tables (inst16 is a 1-float stub) compile the kernel
+    # without any instance machinery
+    two_level = dbvh.inst16.shape[0] >= INST_F
     max_steps = 8 * n_nodes + 64
 
     ox = _pack(o[:, 0], n_prog, pad)
@@ -317,9 +349,12 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_traverse_kernel, closest=closest,
                              smem_nodes=smem_nodes, groups_hbm=groups_hbm,
-                             max_steps=max_steps, interpret=interpret)
+                             two_level=two_level, max_steps=max_steps,
+                             interpret=interpret)
     shape = (n_prog * 8, 128)
     scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
+    if two_level:
+        scratch += [pltpu.VMEM((72, 128), jnp.float32)]
     if groups_hbm:
         scratch += [pltpu.VMEM((12, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA]
