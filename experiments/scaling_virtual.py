@@ -1,0 +1,44 @@
+"""Scaling run on the virtual 8-device CPU mesh -> docs/SCALING_virtual8.json.
+
+Committed artifact for the multi-chip story (VERDICT round-1 #8): rays/s and
+efficiency at 1/2/4/8 devices through the full sharded frame function.
+Virtual CPU devices share one host's cores, so *efficiency* here validates
+sharding mechanics and collective layout, not ICI bandwidth — the same
+harness (parallel/scaling.py) runs unchanged on a real slice.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/pbrt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from physically_based_ray_tracer_tpu.config import RenderConfig
+    from physically_based_ray_tracer_tpu.parallel.scaling import measure_scaling
+    from physically_based_ray_tracer_tpu.scene.presets import sphere_demo
+
+    scene, cam = sphere_demo()
+    cfg = RenderConfig(width=128, height=64, bounces=2, antialias=False,
+                       skybox=False, max_stack_depth=24)
+    rows = measure_scaling(scene, cam, cfg, device_counts=[1, 2, 4, 8])
+    out = {"config": "128x64, 2-bounce, sphere_demo, virtual CPU mesh",
+           "rows": rows}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "SCALING_virtual8.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Multi-process bring-up: distribute_init over two real OS processes.
+
+Validates the multi-host story (SURVEY.md §2.5: the reference has none) in
+simulation: two CPU processes join one JAX distributed system, form a
+global 2-device mesh, and agree on a psum — the collective path gradient
+reduction uses in diff/inverse.py. (Real pods swap the CPU backend for TPU;
+the mesh/collective code is identical.)
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import importlib.util
+import os
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+# distribute_init must run before anything touches the XLA backend, so load
+# parallel/mesh.py standalone (the package __init__ pulls in modules that
+# build jnp constants at import time) — the same ordering a real multi-host
+# launcher uses.
+repo = os.environ["PBRT_REPO"]
+spec = importlib.util.spec_from_file_location(
+    "mesh_solo", os.path.join(repo, "physically_based_ray_tracer_tpu",
+                              "parallel", "mesh.py"))
+mesh_solo = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mesh_solo)
+distribute_init, make_mesh = mesh_solo.distribute_init, mesh_solo.make_mesh
+distribute_init(coordinator=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 2, jax.devices()
+
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+mesh = make_mesh(2)
+def local(x):
+    return jax.lax.psum(jnp.sum(x), "tiles")[None]
+f = jax.jit(shard_map(local, mesh=mesh, in_specs=(P("tiles"),),
+                      out_specs=P("tiles"), check_vma=False))
+x = jnp.arange(8, dtype=jnp.float32)
+xs = jax.make_array_from_process_local_data(
+    jax.NamedSharding(mesh, P("tiles")), np.arange(8, dtype=np.float32)[pid*4:(pid+1)*4], (8,))
+out = f(xs)
+# each shard holds the global psum; read this process's addressable shard
+total = float(np.asarray(out.addressable_shards[0].data)[0])
+assert total == 28.0, total
+print("OK", pid, total)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_two_process_psum():
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)   # single device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["PBRT_REPO"] = repo
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, coord, str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=150)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK" in out, out
