@@ -19,6 +19,7 @@ Texture resolution order:
 from __future__ import annotations
 
 import base64
+import dataclasses
 import json
 import os
 import struct
@@ -112,64 +113,58 @@ def _texture_raster(gltf, buffers, base_dir, tex_info):
     return _image_raster(gltf, buffers, base_dir, t["source"])
 
 
-def load_gltf(path: str, name: str | None = None, texture_ext: str = ".png",
-              merge_primitives: bool = True) -> MeshModel:
-    """Load a .gltf/.glb file into a MeshModel (world units, fat arrays)."""
+def _read_document(path: str):
     base_dir = os.path.dirname(path)
-    stem = name or os.path.splitext(os.path.basename(path))[0]
-
     if path.lower().endswith(".glb"):
         gltf, glb_buffers = _read_glb(path)
     else:
         with open(path) as f:
             gltf = json.load(f)
         glb_buffers = []
-    buffers = _load_buffers(gltf, base_dir, glb_buffers)
+    return gltf, _load_buffers(gltf, base_dir, glb_buffers), base_dir
 
-    corners, normals, uvs = [], [], []
-    for mesh in gltf.get("meshes", []):
-        for prim in mesh.get("primitives", []):
-            if prim.get("mode", 4) != 4:
-                continue
-            attrs = prim["attributes"]
-            pos = _accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
-            if "indices" in prim:
-                idx = _accessor(gltf, buffers, prim["indices"]).astype(np.int64).reshape(-1)
-            else:
-                idx = np.arange(len(pos), dtype=np.int64)
-            nrm = (_accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
-                   if "NORMAL" in attrs else None)
-            uv = (_accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
-                  if "TEXCOORD_0" in attrs else None)
-            c = pos[idx]
-            corners.append(c)
-            if nrm is not None:
-                normals.append(nrm[idx])
-            else:
-                t = c.reshape(-1, 3, 3)
-                fn = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
-                fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
-                normals.append(np.repeat(fn, 3, axis=0))
-            if uv is not None:
-                flipped = uv[idx].copy()
-                flipped[:, 1] = 1.0 - flipped[:, 1]   # aiProcess_FlipUVs
-                uvs.append(flipped)
-            else:
-                uvs.append(np.zeros((len(idx), 2), np.float32))
-            if not merge_primitives:
-                break
-        if not merge_primitives:
-            break
 
-    corner = np.concatenate(corners) if corners else np.zeros((0, 3), np.float32)
-    normal = np.concatenate(normals) if normals else np.zeros((0, 3), np.float32)
-    uv = np.concatenate(uvs) if uvs else np.zeros((0, 2), np.float32)
+def _primitive_fat(gltf, buffers, prim):
+    """De-indexed (corners, normals, uvs) for one triangle primitive."""
+    attrs = prim["attributes"]
+    pos = _accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
+    if "indices" in prim:
+        idx = _accessor(gltf, buffers, prim["indices"]).astype(np.int64).reshape(-1)
+    else:
+        idx = np.arange(len(pos), dtype=np.int64)
+    nrm = (_accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
+           if "NORMAL" in attrs else None)
+    uv = (_accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+          if "TEXCOORD_0" in attrs else None)
+    c = pos[idx]
+    if nrm is not None:
+        n = nrm[idx]
+    else:
+        t = c.reshape(-1, 3, 3)
+        fn = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
+        n = np.repeat(fn, 3, axis=0)
+    if uv is not None:
+        u = uv[idx].copy()
+        u[:, 1] = 1.0 - u[:, 1]   # aiProcess_FlipUVs
+    else:
+        u = np.zeros((len(idx), 2), np.float32)
+    return c, n, u
+
+
+def _face_normals(corner):
     t = corner.reshape(-1, 3, 3)
     fn = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
     fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
+    return fn.astype(np.float32)
 
-    # --- material resolution -------------------------------------------------
-    def conv(kind):  # reference naming convention (Core/Model.cpp:185)
+
+def _material_model(gltf, buffers, base_dir, mat_idx, corner, normal, uv,
+                    stem, texture_ext) -> MeshModel:
+    """MeshModel from fat arrays + one glTF material (factors + textures,
+    with the reference's <name>_<type><ext> naming convention taking
+    precedence — LoadTexture, Core/Model.cpp:183-204)."""
+    def conv(kind):
         return tex.load_texture(os.path.join(base_dir, f"{stem}_{kind}{texture_ext}"))
 
     albedo = conv("albedo")
@@ -181,8 +176,8 @@ def load_gltf(path: str, name: str | None = None, texture_ext: str = ".png",
     metalness, roughness = 0.0, 0.5
     emissive = (0.0, 0.0, 0.0)
     mats = gltf.get("materials", [])
-    if mats:
-        m = mats[0]
+    if mat_idx is not None and mat_idx < len(mats):
+        m = mats[mat_idx]
         pbr = m.get("pbrMetallicRoughness", {})
         if "baseColorFactor" in pbr:
             base_color = tuple(pbr["baseColorFactor"][:3])
@@ -194,16 +189,85 @@ def load_gltf(path: str, name: str | None = None, texture_ext: str = ".png",
         if normal_map is None:
             normal_map = _texture_raster(gltf, buffers, base_dir, m.get("normalTexture"))
         if rma is None:
-            mr = _texture_raster(gltf, buffers, base_dir, pbr.get("metallicRoughnessTexture"))
             # glTF metallicRoughness: G = roughness, B = metalness — the same
             # channel layout the engine expects; use directly.
-            rma = mr
+            rma = _texture_raster(gltf, buffers, base_dir, pbr.get("metallicRoughnessTexture"))
         if emission is None:
             emission = _texture_raster(gltf, buffers, base_dir, m.get("emissiveTexture"))
 
     return MeshModel(
-        corners=corner, normals=normal, uvs=uv, face_normals=fn.astype(np.float32),
+        corners=corner, normals=normal, uvs=uv, face_normals=_face_normals(corner),
         name=stem, base_color=base_color, metalness=float(metalness),
         roughness=float(roughness), emissive=emissive,
         albedo_texture=albedo, normal_texture=normal_map,
         rma_texture=rma, emission_texture=emission)
+
+
+def load_gltf_multi(path: str, name: str | None = None,
+                    texture_ext: str = ".png") -> list[MeshModel]:
+    """Load a .gltf/.glb as ONE MeshModel PER MATERIAL (primitives sharing a
+    material merge). Fixes round-1's materials[0] collapse: multi-material
+    meshes keep every material; callers instance all returned models with
+    the same transform."""
+    gltf, buffers, base_dir = _read_document(path)
+    stem = name or os.path.splitext(os.path.basename(path))[0]
+
+    groups: dict = {}
+    order: list = []
+    for mesh in gltf.get("meshes", []):
+        for prim in mesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:
+                continue
+            key = prim.get("material")
+            if key not in groups:
+                groups[key] = ([], [], [])
+                order.append(key)
+            c, n, u = _primitive_fat(gltf, buffers, prim)
+            groups[key][0].append(c)
+            groups[key][1].append(n)
+            groups[key][2].append(u)
+
+    out = []
+    for key in order:
+        cs, ns, us = groups[key]
+        m = _material_model(
+            gltf, buffers, base_dir, key,
+            np.concatenate(cs), np.concatenate(ns), np.concatenate(us),
+            stem, texture_ext)
+        if len(order) > 1:
+            m = dataclasses.replace(m, name=f"{stem}.mat{key}")
+        out.append(m)
+    return out
+
+
+def load_gltf(path: str, name: str | None = None, texture_ext: str = ".png",
+              merge_primitives: bool = True) -> MeshModel:
+    """Load a .gltf/.glb file into ONE MeshModel (world units, fat arrays).
+
+    All primitives merge; material factors/textures come from the FIRST
+    material (use load_gltf_multi to keep every material)."""
+    gltf, buffers, base_dir = _read_document(path)
+    stem = name or os.path.splitext(os.path.basename(path))[0]
+
+    corners, normals, uvs = [], [], []
+    first_mat = None
+    for mesh in gltf.get("meshes", []):
+        for prim in mesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:
+                continue
+            if first_mat is None:
+                first_mat = prim.get("material", 0)
+            c, n, u = _primitive_fat(gltf, buffers, prim)
+            corners.append(c)
+            normals.append(n)
+            uvs.append(u)
+            if not merge_primitives:
+                break
+        if not merge_primitives and corners:
+            break
+
+    corner = np.concatenate(corners) if corners else np.zeros((0, 3), np.float32)
+    normal = np.concatenate(normals) if normals else np.zeros((0, 3), np.float32)
+    uv = np.concatenate(uvs) if uvs else np.zeros((0, 2), np.float32)
+    return _material_model(gltf, buffers, base_dir, first_mat or 0,
+                           corner, normal, uv, stem, texture_ext)

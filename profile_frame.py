@@ -3,11 +3,14 @@ import functools
 import sys
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
-from bench import build_bench_scene, count_rays
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench import build_bench_scene
+from physically_based_ray_tracer_tpu.utils.timer import ray_count
 from physically_based_ray_tracer_tpu.config import RenderConfig
 from physically_based_ray_tracer_tpu.render.film import FilmState
 from physically_based_ray_tracer_tpu.render.renderer import frame_fn
@@ -29,13 +32,16 @@ def run(scene, cam, label, **kw):
     ts = []
     for i in range(3):
         t0 = time.perf_counter()
-        film_out, avg = frame(scene, cam, film=film_out, key=key,
+        # fold the sample index into the key so each timed frame traces
+        # decorrelated, representative paths (ADVICE round-1)
+        film_out, avg = frame(scene, cam, film=film_out,
+                              key=jax.random.fold_in(key, i),
                               sample=i + 1, pixel_ids=pixel_ids)
         jax.block_until_ready(avg)
         ts.append(time.perf_counter() - t0)
     ts.sort()
     dt = ts[len(ts) // 2]
-    rays = count_rays(cfg, n_pix)
+    rays = ray_count(cfg, n_pix)
     print(f"{label:40s}: {dt*1e3:9.1f} ms   {rays/dt/1e6:7.2f} Mrays/s")
 
 

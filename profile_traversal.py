@@ -1,20 +1,19 @@
 """Profile traversal kernels on the real chip (dev tool, not part of bench)."""
 import functools
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import build_bench_scene
 from physically_based_ray_tracer_tpu.scene.camera import primary_rays
-from physically_based_ray_tracer_tpu.scene.scene import build_scene
 from physically_based_ray_tracer_tpu.render.renderer import morton_pixel_order
 
 
-def timeit(fn, *args, n=3, label=""):
+def timeit(fn, *args, n=3):
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []
@@ -28,7 +27,7 @@ def timeit(fn, *args, n=3, label=""):
 
 
 def main():
-    scene, cam, depth = build_bench_scene()
+    scene, cam, _ = build_bench_scene()
     W, H = 1280, 720
     ids = jnp.asarray(morton_pixel_order(W, H))
     xs = (ids % W).astype(jnp.float32)
@@ -49,7 +48,7 @@ def main():
                     dense="mt", shrink=8))
                 oc, dc = o[:chunk], d[:chunk]
                 try:
-                    dt = timeit(f, scene.bvh, oc, dc, label="wave")
+                    dt = timeit(f, scene.bvh, oc, dc)
                     print(f"wave chunk={chunk:8d} tile={tile} steps={node_steps} "
                           f"cap={leaf_cap}: {dt*1e3:8.1f} ms  "
                           f"{chunk/dt/1e6:8.1f} Mrays/s")
