@@ -147,8 +147,11 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
         count = jnp.int32(1) << (v % 8)
         base = g * GROUP_ROWS
         if groups_hbm:
+            # full GROUP_ROWS-aligned block: dynamic-offset DMAs must stay
+            # sublane-tile aligned (a 12-row slice at a 16-row stride faults
+            # the worker on real hardware)
             cp = pltpu.make_async_copy(
-                groups_ref.at[pl.ds(base, 12), :], gscratch, gsem)
+                groups_ref.at[pl.ds(base, GROUP_ROWS), :], gscratch, gsem)
             cp.start()
             cp.wait()
             blk = gscratch[:]
@@ -356,7 +359,7 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
     if two_level:
         scratch += [pltpu.VMEM((72, 128), jnp.float32)]
     if groups_hbm:
-        scratch += [pltpu.VMEM((12, 128), jnp.float32),
+        scratch += [pltpu.VMEM((GROUP_ROWS, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA]
     t, u, v, prim, inst = pl.pallas_call(
         kern,
