@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--post", action="store_true", help="Panini + vignette + aberration")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--debug-pixel", nargs=2, type=int, metavar=("X", "Y"),
+                   default=None,
+                   help="print a per-bounce trace of one pixel's path plus "
+                        "its neighbourhood colour grid (the editor Debugger "
+                        "tab analogue) instead of rendering a frame")
     return p
 
 
@@ -70,6 +75,18 @@ def main(argv=None):
     else:
         from physically_based_ray_tracer_tpu.scene.loader import load_reference_scene
         scene, cam, _ = load_reference_scene(args.assets, args.scene)
+
+    if args.debug_pixel is not None:
+        import numpy as np
+
+        from physically_based_ray_tracer_tpu.render.debugger import (
+            format_trace, pixel_grid, trace_pixel)
+        x, y = args.debug_pixel
+        print(format_trace(trace_pixel(scene, cam, cfg, x, y)))
+        grid = pixel_grid(scene, cam, cfg, x, y)
+        with np.printoptions(precision=3, suppress=True):
+            print(f"colour grid around ({x},{y}):\n{grid}")
+        return
 
     r = Renderer(scene, cam, cfg)
     import jax

@@ -414,17 +414,19 @@ def intersect_any_dense(dbvh: DenseBVH, o, d, t_max, *,
     return t > 0.0
 
 
-def _morton_perm(dbvh: DenseBVH, o, d, dead=None):
+def _morton_perm(dbvh: DenseBVH, o, d, dead=None, mode="octant_major"):
     from physically_based_ray_tracer_tpu.ops.traverse_packet import morton_order
-    return morton_order(o, d, dbvh.world_lo, dbvh.world_hi, dead=dead)
+    return morton_order(o, d, dbvh.world_lo, dbvh.world_hi, dead=dead,
+                        mode=mode)
 
 
 def sorted_closest_dense(dbvh: DenseBVH, o, d, t_max=None, *,
-                         interpret=False, **_ignored) -> Hit:
+                         interpret=False, sort_mode="octant_major",
+                         **_ignored) -> Hit:
     """Closest-hit on octant+Morton-sorted rays (bounce/shadow wavefronts)."""
     if t_max is None:
         t_max = jnp.full((o.shape[0],), BVH_FAR, o.dtype)
-    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0)
+    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0, mode=sort_mode)
     hit = intersect_closest_dense(dbvh, jnp.take(o, perm, axis=0),
                                   jnp.take(d, perm, axis=0),
                                   jnp.take(t_max, perm), interpret=interpret)
@@ -433,8 +435,9 @@ def sorted_closest_dense(dbvh: DenseBVH, o, d, t_max=None, *,
 
 
 def sorted_any_dense(dbvh: DenseBVH, o, d, t_max, *,
-                     interpret=False, **_ignored) -> jnp.ndarray:
-    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0)
+                     interpret=False, sort_mode="octant_major",
+                     **_ignored) -> jnp.ndarray:
+    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0, mode=sort_mode)
     occ = intersect_any_dense(dbvh, jnp.take(o, perm, axis=0),
                               jnp.take(d, perm, axis=0),
                               jnp.take(t_max, perm), interpret=interpret)

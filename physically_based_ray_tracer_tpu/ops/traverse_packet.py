@@ -619,10 +619,21 @@ def intersect_any_wave(bvh: BVHArrays, o, d, t_max, *,
                         shrink=shrink)
 
 
-def morton_order(o, d, scene_lo, scene_hi, dead=None):
-    """Sort key making ray tiles coherent: 3-bit direction octant (major) +
-    interleaved 7-bit-per-axis origin Morton code. Returns the permutation;
-    invert with jnp.argsort(perm) to unsort results.
+def morton_order(o, d, scene_lo, scene_hi, dead=None, mode="octant_major"):
+    """Sort key making ray tiles coherent. Returns the permutation; invert
+    with jnp.argsort(perm) to unsort results.
+
+    Modes (tile = 1024 consecutive rays after the sort):
+      * "octant_major": 3-bit direction octant, then 21-bit origin Morton —
+        the batch analogue of tinybvh's per-octant specialisation
+        (Core/tiny_bvh.h:6302-6311). Splits each surface region across up
+        to 8 tiles.
+      * "morton_major": coarse 12-bit origin Morton, then octant, then the
+        9 fine Morton bits — tiles stay spatially tight first and only
+        split by direction within a region. Better when the shared-stack
+        cost is dominated by the spatial union of the tile's rays.
+      * "six_d": origin Morton interleaved with a 2-bit-per-axis direction
+        code (6D locality).
 
     ``dead`` (optional bool (B,)): lanes that cannot hit (e.g. shadow rays
     with tmax == 0 from an unselected light branch). They sort to the back so
@@ -641,9 +652,27 @@ def morton_order(o, d, scene_lo, scene_hi, dead=None):
     octant = ((d[..., 0] > 0).astype(jnp.uint32)
               | ((d[..., 1] > 0).astype(jnp.uint32) << 1)
               | ((d[..., 2] > 0).astype(jnp.uint32) << 2))
-    key = (octant << 21) | morton
+    if mode == "octant_major":
+        key = (octant << 21) | morton
+        dead_shift = 24
+    elif mode == "morton_major":
+        key = (((morton >> 9) << 12) | (octant << 9) | (morton & 0x1FF))
+        dead_shift = 24
+    elif mode == "six_d":
+        qd = jnp.clip((d * 0.5 + 0.5) * 3.0, 0.0, 3.0).astype(jnp.uint32)
+
+        def spread2(x):  # 2 bits, stride 3
+            return (x & 1) | (((x >> 1) & 1) << 3)
+
+        dmorton = (spread2(qd[..., 0]) | (spread2(qd[..., 1]) << 1)
+                   | (spread2(qd[..., 2]) << 2))
+        # merge: 15 coarse origin bits, 6 direction bits, 6 fine origin bits
+        key = (((morton >> 6) << 12) | (dmorton << 6) | (morton & 0x3F))
+        dead_shift = 27
+    else:
+        raise ValueError(f"unknown morton_order mode: {mode}")
     if dead is not None:
-        key = key | (dead.astype(jnp.uint32) << 24)
+        key = key | (dead.astype(jnp.uint32) << dead_shift)
     return jnp.argsort(key)
 
 

@@ -314,13 +314,19 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
     return result
 
 
-def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
+def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
+                collect_debug: bool = False):
     """Trace a batch of paths to completion; returns (radiance (B,3), primary Hit).
 
     One ``lax.scan`` over path vertices with a uniform body — the compiled
     program contains a single copy of the traversal/shading pipeline
     regardless of ``cfg.bounces`` (bounded compile time; the reference's
     recursion depth is a runtime constant here).
+
+    ``collect_debug=True`` additionally stacks a per-bounce diagnostic dict
+    (the single-ray DebugBreak analogue, Core/Renderer.cpp:49-52 /
+    Core/UserInterface.cpp:141-236) and returns it as a third output —
+    same integrator, observed rather than re-implemented.
     """
     B = o.shape[0]
 
@@ -333,6 +339,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
     def body(carry, depth):
         o, d, radiance, throughput, alive, primary_t = carry
 
+        alive_in = alive
         t_init = jnp.where(alive, BVH_FAR, 0.0)
         hit = _closest(accel_sg, cfg, sg(o), sg(d), sg(t_init), sort=True)
         # differentiable re-intersection against the original-order triangle
@@ -404,20 +411,39 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample):
 
         w_scaled = weight / lobe_div[:, None]
         throughput = throughput * jnp.where(is_dielectric[:, None], 1.0, w_scaled)
+        o_prev, d_prev = o, d
         o = jnp.where(is_dielectric[:, None], diel_org,
                       point + bounce_dir * EPSILON)
         d = jnp.where(is_dielectric[:, None], diel_dir, bounce_dir)
         alive = alive & jnp.where(is_dielectric, True, valid)
-        return (o, d, radiance, throughput, alive, primary_t), None
+        dbg = None
+        if collect_debug:
+            dbg = {
+                "ray_o": o_prev, "ray_d": d_prev,
+                "hit_t": hit_t, "hit_prim": jnp.where(found, hit.prim, -1),
+                "hit_inst": hit.inst, "hit_u": hit_u, "hit_v": hit_v,
+                "point": point, "geom_n": geom_n, "shad_n": shad_n,
+                "base_color": material.base_color,
+                "metalness": material.metalness,
+                "roughness": material.roughness,
+                "vertex_radiance": jnp.where(
+                    (alive_in & ~is_dielectric)[:, None], vertex_rad, 0.0),
+                "throughput_out": throughput,
+                "alive_out": alive, "is_dielectric": is_dielectric,
+                "picked_specular": pick_spec, "next_dir": d,
+            }
+        return (o, d, radiance, throughput, alive, primary_t), dbg
 
     init = (o, d, jnp.zeros((B, 3), o.dtype), jnp.ones((B, 3), o.dtype),
             jnp.ones((B,), bool), jnp.full((B,), BVH_FAR, o.dtype))
-    (o, d, radiance, throughput, alive, primary_t), _ = jax.lax.scan(
+    (o, d, radiance, throughput, alive, primary_t), debug = jax.lax.scan(
         body, init, jnp.arange(cfg.bounces))
 
     neg1 = jnp.full((B,), -1, jnp.int32)
     primary_hit = Hit(t=primary_t, u=jnp.zeros((B,), o.dtype),
                       v=jnp.zeros((B,), o.dtype), prim=neg1, inst=neg1)
+    if collect_debug:
+        return radiance, primary_hit, debug
     return radiance, primary_hit
 
 
