@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print a per-bounce trace of one pixel's path plus "
                         "its neighbourhood colour grid (the editor Debugger "
                         "tab analogue) instead of rendering a frame")
+    p.add_argument("--draw-bvh", type=int, default=None, metavar="LEVEL",
+                   help="overlay BVH node AABB wireframes at the given tree "
+                        "level on the capture (debug-draw analogue)")
     return p
 
 
@@ -95,6 +98,22 @@ def main(argv=None):
         r.tick(jax.random.key(args.seed))
         print(f"frame {s + 1}/{args.spp}: {r.stats.frame_ms:.1f} ms, "
               f"{r.stats.mrays_per_s:.1f} Mrays/s", file=sys.stderr)
+    if args.draw_bvh is not None:
+        import numpy as np
+
+        from physically_based_ray_tracer_tpu.utils.debug_draw import (
+            bvh_level_boxes, draw_aabbs)
+        from physically_based_ray_tracer_tpu.utils.image import write_png
+        lo, hi = bvh_level_boxes(np.asarray(scene.bvh.nodes_box),
+                                 np.asarray(scene.bvh.nodes_child),
+                                 args.draw_bvh)
+        img = draw_aabbs(np.asarray(r._current_image()), cam, lo, hi)
+        out = args.out or f"capture_{int(time.time())}.png"
+        write_png(out, img)
+        print(f"wrote {out} with BVH level-{args.draw_bvh} overlay "
+              f"({lo.shape[0]} boxes)")
+        return
+
     out = r.capture(args.out)
     print(f"wrote {out} ({args.spp} spp, {time.time() - t0:.1f}s total)")
 
