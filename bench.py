@@ -96,7 +96,7 @@ def main():
     times.sort()
     t_med = times[len(times) // 2]
 
-    rays = ray_count(cfg, n_pix)
+    rays = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
     mrays = rays / t_med / 1e6
     print(json.dumps({
         "metric": "Mrays/s/chip (1280x720, 4-bounce path trace, NEE, AA)",

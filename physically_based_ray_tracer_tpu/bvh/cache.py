@@ -21,6 +21,13 @@ from physically_based_ray_tracer_tpu.bvh.types import BVHArrays
 FORMAT_VERSION = 1
 
 
+def _norm(path: str) -> str:
+    """np.savez appends '.npz' to extensionless paths; normalise so save and
+    load always agree on the on-disk name (ADVICE r2: an extensionless
+    cache_path otherwise always missed on load and silently rebuilt)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def _tri_hash(triangles: np.ndarray, extra: str = "") -> str:
     tri = np.ascontiguousarray(np.asarray(triangles, np.float32))
     h = hashlib.sha256()
@@ -33,7 +40,7 @@ def save_bvh(path: str, bvh: BVHArrays, triangles=None, params: str = ""):
     """Persist a classic 2-wide BVH. ``triangles``/``params`` bind the cache
     to its source geometry + build options."""
     np.savez_compressed(
-        path,
+        _norm(path),
         version=np.int64(FORMAT_VERSION), layout="bvh2",
         content=_tri_hash(triangles, params) if triangles is not None else "",
         nodes_box=np.asarray(bvh.nodes_box),
@@ -45,6 +52,7 @@ def save_bvh(path: str, bvh: BVHArrays, triangles=None, params: str = ""):
 def load_bvh(path: str, triangles=None, params: str = "") -> BVHArrays | None:
     """Load a cached BVH; None when missing, version-mismatched, or built
     from different geometry/options (callers then rebuild)."""
+    path = _norm(path)
     if not os.path.exists(path):
         return None
     try:
@@ -62,7 +70,7 @@ def load_bvh(path: str, triangles=None, params: str = "") -> BVHArrays | None:
 def save_dense(path: str, dbvh: DenseBVH, triangles=None, params: str = ""):
     """Persist a dense-leaf (Pallas) BVH table."""
     np.savez_compressed(
-        path,
+        _norm(path),
         version=np.int64(FORMAT_VERSION), layout="dense",
         content=_tri_hash(triangles, params) if triangles is not None else "",
         nodes16=np.asarray(dbvh.nodes16), groups=np.asarray(dbvh.groups),
@@ -71,6 +79,7 @@ def save_dense(path: str, dbvh: DenseBVH, triangles=None, params: str = ""):
 
 
 def load_dense(path: str, triangles=None, params: str = "") -> DenseBVH | None:
+    path = _norm(path)
     if not os.path.exists(path):
         return None
     try:

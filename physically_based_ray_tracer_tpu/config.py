@@ -107,11 +107,22 @@ class RenderConfig:
     exact_point_falloff: bool = False  # reference uses color/dist (not 1/d^2) for point lights
     one_shadow_ray: bool = False       # point NEE: 1 uniformly-picked light ×NP
     #   (unbiased single-sample estimator) instead of the reference's NP
-    #   shadow rays (Core/Renderer.cpp:220-261) — 1 occlusion lane per vertex
+    #   shadow rays (Core/Renderer.cpp:220-261) — 1 occlusion lane per vertex.
+    #   NOTE (ADVICE r2): this estimator converges to the physically
+    #   consistent per-light sum  Σ_j bsdf(l_j)·contrib_j, whereas the
+    #   reference's quirk evaluates bsdf at ONE random light against the
+    #   summed contributions (bsdf(l_sel)·Σ_j contrib_j,
+    #   Core/Renderer.cpp:264-268). The two differ in expectation on
+    #   glossy surfaces — an intentional deviation, not a regression
+    #   (docs/PARITY.md quirk list).
     depth_keyed_accum: bool = True     # depth-keyed accumulation reset
     #   heuristic (Core/Renderer.cpp:82-99); False = plain running mean
     chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame
-    traversal: str = "wave"            # "wave" | "packet" | "lane" (see ops/traverse*)
+    traversal: str = "pallas"          # "pallas" (production megakernel,
+    #   ops/pallas_trace.py; interpret-mode on CPU) | "wave" | "packet" |
+    #   "lane" (XLA engines, ops/traverse*). ONE production engine everywhere
+    #   (defaults == bench == goldens == multichip dryrun), like the
+    #   reference's single BVH8_CPU path (Core/Model.cpp:15-16).
     sort_rays: bool = True             # octant+Morton sort of bounce/shadow wavefronts
     packet_tile: int = 128             # rays per packet tile (128 = one VPU lane row)
     dense: str = "mt"                  # leaf test: "mt" (fused VPU) | "woop" (MXU matmul)

@@ -241,10 +241,11 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
         far_ok = jnp.where(swap, any0, any1)
 
         push = push_far = near_ok & far_ok & ~is_leaf
+        sp_cap = stack_ref.shape[0] - 1   # clamp guard (ADVICE r2)
 
         @pl.when(push_far)
         def _():
-            stack_ref[sp] = far
+            stack_ref[jnp.minimum(sp, sp_cap)] = far
 
         sp2 = jnp.where(push, sp + 1, sp)
         done_c = jnp.int32(DONE)
@@ -264,7 +265,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
 
             @pl.when(enter)
             def _():
-                stack_ref[sp2] = sent
+                stack_ref[jnp.minimum(sp2, sp_cap)] = sent
 
             sp2b = jnp.where(enter, sp2 + 1, sp2)
             # BLAS root read is unconditional — clamp iid so the non-enter
@@ -335,7 +336,19 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
     # single-level tables (inst16 is a 1-float stub) compile the kernel
     # without any instance machinery
     two_level = dbvh.inst16.shape[0] >= INST_F
-    max_steps = 8 * n_nodes + 64
+    # Step bound: single-level traversal visits each node at most once per
+    # distinct stack path (8x slack); two-level traversal re-enters shared
+    # BLAS subtrees once per *instance*, so the bound must scale with the
+    # instance count or many-instance scenes silently truncate (ADVICE r2).
+    n_inst = dbvh.inst16.shape[0] // INST_F
+    max_steps = min(8 * n_nodes * (n_inst + 1 if two_level else 1) + 64,
+                    2**31 - 1)
+    # Stack safety: pushes happen only when both children are hit (plus one
+    # RESTORE sentinel per instance enter), so live entries are bounded by
+    # the tree depth — but a degenerate sweep-SAH TLAS can chain to
+    # I-1 levels (ADVICE r2). Size the stack to the table (cheap: SMEM
+    # int32s) and clamp writes as a last-resort guard.
+    stack_depth = max(stack_depth, min(2 * n_nodes + 16, 4096))
 
     ox = _pack(o[:, 0], n_prog, pad)
     oy = _pack(o[:, 1], n_prog, pad)

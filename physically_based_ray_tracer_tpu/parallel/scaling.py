@@ -36,7 +36,7 @@ def measure_scaling(scene, cam, cfg: RenderConfig, device_counts=None,
 
     n_pix = cfg.n_pixels
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
-    rays = ray_count(cfg, n_pix)
+    rays = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
 
     results = []
     base_rate = None

@@ -130,7 +130,8 @@ class Renderer:
             # alone does not guarantee completion on relay-attached devices
             avg = np.asarray(avg)
         self.sample += 1
-        self.stats.update(t.ms, ray_count(self.config, self.config.n_pixels))
+        self.stats.update(t.ms, ray_count(self.config, self.config.n_pixels,
+                                          n_point_lights=int(self.scene.lights.n_point)))
         return self._assemble(avg)
 
     def _assemble(self, avg_flat: np.ndarray) -> np.ndarray:

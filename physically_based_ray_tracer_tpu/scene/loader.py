@@ -15,7 +15,9 @@ import numpy as np
 
 from physically_based_ray_tracer_tpu.models.gltf import load_gltf
 from physically_based_ray_tracer_tpu.scene.camera import Camera
-from physically_based_ray_tracer_tpu.scene.scene import SceneData, build_scene
+from physically_based_ray_tracer_tpu.scene.scene import (SceneData,
+                                                         build_scene,
+                                                         build_scene_instanced)
 from physically_based_ray_tracer_tpu.scene.serialization import (load_camera_json,
                                                                  load_scene_dir)
 
@@ -23,12 +25,21 @@ from physically_based_ray_tracer_tpu.scene.serialization import (load_camera_jso
 def load_reference_scene(assets_root: str, scene_name: str = "scene1",
                          model_paths: list[str] | None = None,
                          include_point_lights: bool = True,
-                         load_sky: bool = True):
+                         load_sky: bool = True,
+                         instanced: bool = True,
+                         return_handle: bool = False):
     """Load a reference-format asset tree.
 
     ``model_paths``: glTF/GLB files in modelIndex order; defaults to the
     reference scene1 model list (SciFiHelmet only, Core/Scene.cpp:14).
-    Returns (scene_data, camera, bvh_depth).
+
+    ``instanced=True`` (production default) builds the two-level TLAS
+    structure — shared BLAS per model, the reference's per-frame dynamic
+    design (Core/Renderer.cpp:22-41) — so transforms can be refreshed with
+    ``rebuild_scene`` without re-uploading geometry. ``return_handle=True``
+    additionally returns the InstancedScene handle that rebuild needs.
+
+    Returns (scene_data, camera, bvh_depth[, handle]).
     """
     if model_paths is None:
         model_paths = [os.path.join(
@@ -47,9 +58,16 @@ def load_reference_scene(assets_root: str, scene_name: str = "scene1",
             from physically_based_ray_tracer_tpu.utils.image import read_hdr
             sky = read_hdr(sky_path)
 
-    scene, depth = build_scene(models, instances, lights, sky=sky)
+    handle = None
+    if instanced:
+        scene, handle, depth = build_scene_instanced(models, instances,
+                                                     lights, sky=sky)
+    else:
+        scene, depth = build_scene(models, instances, lights, sky=sky)
 
     cam_path = os.path.join(assets_root, "prefabs/camera.json")
     cam = (load_camera_json(cam_path) if os.path.exists(cam_path)
            else Camera.make((0, 0, 3), (0, 0, 0)))
+    if return_handle:
+        return scene, cam, depth, handle
     return scene, cam, depth

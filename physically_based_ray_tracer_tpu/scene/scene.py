@@ -228,6 +228,30 @@ class InstancedScene:
     tlas_meta: TLASMeta
     leaf_size: int
     legacy_bvh: bool
+    prim_start: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    prim_count: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+
+def _instance_offsets(models, instances):
+    counts = np.array([models[i.model].n_tris for i in instances], np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return starts, counts
+
+
+def _bake_one(mdl: MeshModel, inst: Instance):
+    """World-space shading arrays for ONE instance (the unit of incremental
+    refresh)."""
+    m = inst.transform
+    nrm_m = inverse_transpose_3x3(m)
+    wc = transform_points(m, mdl.corners).astype(np.float32)
+    wn = mdl.normals @ nrm_m.T
+    wn /= np.maximum(np.linalg.norm(wn, axis=1, keepdims=True), 1e-20)
+    wf = mdl.face_normals @ nrm_m.T
+    wf /= np.maximum(np.linalg.norm(wf, axis=1, keepdims=True), 1e-20)
+    tri = wc.reshape(-1, 3, 3)
+    v0 = tri[:, 0]
+    return (v0, tri[:, 1] - v0, tri[:, 2] - v0,
+            wf.astype(np.float32), wn.astype(np.float32))
 
 
 def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
@@ -261,9 +285,11 @@ def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
         bvh = build_bvh(np.zeros((1, 3, 3), np.float32) , leaf_size=leaf_size)
         depth = ddepth
     data = _assemble(models, bvh.to_device(), dense, baked, lights, sky)
+    starts, counts = _instance_offsets(models, instances)
     handle = InstancedScene(models=models, instances=list(instances),
                             tlas_meta=meta, leaf_size=leaf_size,
-                            legacy_bvh=legacy_bvh)
+                            legacy_bvh=legacy_bvh,
+                            prim_start=starts, prim_count=counts)
     return data, handle, depth
 
 
@@ -271,26 +297,50 @@ def rebuild_scene(data: SceneData, handle: InstancedScene,
                   instances: list[Instance]) -> SceneData:
     """Refresh after instance transform changes (Scene::BuildTLAS analogue,
     Core/Scene.cpp:220-223): rewrites the TLAS head + instance table on the
-    existing dense structure and re-bakes only the small world shading
-    arrays — BLAS nodes and leaf groups are NOT rebuilt or re-uploaded.
+    existing dense structure and re-bakes only the MOVED instances' slices
+    of the world shading arrays — the per-frame cost is O(instances) for
+    the TLAS head + O(moved triangles) for the shading update; BLAS nodes
+    and leaf groups are never touched.
 
     Mesh membership must be unchanged (same models per instance slot)."""
     assert len(instances) == len(handle.instances)
     assert all(a.model == b.model for a, b in zip(instances, handle.instances))
     transforms = np.stack([i.transform for i in instances]).astype(np.float32)
     dense = refresh_tlas(data.dense, handle.tlas_meta, transforms)
-    baked = _bake_world(handle.models, instances)
+
+    moved = [i for i, (a, b) in enumerate(zip(instances, handle.instances))
+             if not np.allclose(a.transform, b.transform)]
     handle.instances = list(instances)
-    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
-    tri = baked["tri"]
-    v0 = tri[:, 0]
+    tri_v0, tri_e1, tri_e2 = data.tri_v0, data.tri_e1, data.tri_e2
+    face_n, corner_n = data.face_normal, data.corner_normal
+    if moved:
+        # one batched scatter per array (not one dispatch per instance):
+        # the update cost is O(moved triangles) host bake + 5 device ops
+        parts = [_bake_one(handle.models[instances[i].model], instances[i])
+                 for i in moved]
+        idx = np.concatenate([np.arange(handle.prim_start[i],
+                                        handle.prim_start[i] + handle.prim_count[i])
+                              for i in moved])
+        cidx = jnp.asarray(np.concatenate([3 * idx, 3 * idx + 1, 3 * idx + 2]))
+        idx = jnp.asarray(idx)
+        cat = [np.concatenate([p[k] for p in parts]) for k in range(5)]
+        tri_v0 = tri_v0.at[idx].set(jnp.asarray(cat[0]))
+        tri_e1 = tri_e1.at[idx].set(jnp.asarray(cat[1]))
+        tri_e2 = tri_e2.at[idx].set(jnp.asarray(cat[2]))
+        face_n = face_n.at[idx].set(jnp.asarray(cat[3]))
+        wn = np.concatenate([p[4] for p in parts])
+        corner_n = corner_n.at[cidx].set(jnp.asarray(
+            wn.reshape(-1, 3, 3).swapaxes(0, 1).reshape(-1, 3)))
     if handle.legacy_bvh:
+        # non-Pallas engines traverse the world-baked BVH: full rebuild
+        tri = np.stack([np.asarray(tri_v0),
+                        np.asarray(tri_v0) + np.asarray(tri_e1),
+                        np.asarray(tri_v0) + np.asarray(tri_e2)], axis=1)
         bvh = build_bvh(tri, leaf_size=handle.leaf_size).to_device()
     else:
         bvh = data.bvh
     return data._replace(
         bvh=bvh, dense=dense,
-        tri_v0=f32(v0), tri_e1=f32(tri[:, 1] - v0), tri_e2=f32(tri[:, 2] - v0),
-        face_normal=f32(baked["face_n"]),
-        corner_normal=f32(baked["normals"]),
+        tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
+        face_normal=face_n, corner_normal=corner_n,
     )
