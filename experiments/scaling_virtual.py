@@ -28,10 +28,17 @@ def main():
     from physically_based_ray_tracer_tpu.scene.presets import sphere_demo
 
     scene, cam = sphere_demo()
-    cfg = RenderConfig(width=128, height=64, bounces=2, antialias=False,
+    # 512x512: per-device work dominates fixed dispatch overhead (the
+    # VERDICT r2 note on the old 128x64 run, where it did not). The virtual
+    # devices SHARE one host's cores, so wall-clock cannot scale linearly
+    # here; the meaningful check is that per-device work divides evenly and
+    # the sharded program adds no super-linear overhead. On a real slice the
+    # same harness measures true ICI scaling.
+    cfg = RenderConfig(width=512, height=512, bounces=2, antialias=False,
                        skybox=False, max_stack_depth=24)
     rows = measure_scaling(scene, cam, cfg, device_counts=[1, 2, 4, 8])
-    out = {"config": "128x64, 2-bounce, sphere_demo, virtual CPU mesh",
+    out = {"config": "512x512, 2-bounce, sphere_demo, virtual CPU mesh "
+                     "(shared-core caveat: see experiments/scaling_virtual.py)",
            "rows": rows}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "SCALING_virtual8.json")

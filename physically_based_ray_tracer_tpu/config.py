@@ -128,6 +128,14 @@ class RenderConfig:
     dense: str = "mt"                  # leaf test: "mt" (fused VPU) | "woop" (MXU matmul)
     wave_shrink: int = 8               # adaptive compaction width divisor (0 disables)
     pixel_order: str = "morton"        # "morton" (square coherent tiles) | "scanline"
+    # Cross-chip ray re-sharding (parallel/resharding.py): when reshard_axis
+    # names a live shard_map mesh axis, every bounce donates up to
+    # reshard_block surplus live rays to the ring neighbour before tracing
+    # and routes results home after (the ring-attention-shaped load balance
+    # of SURVEY.md §2.5). sharded_frame(..., reshard_block=N) sets these.
+    reshard_axis: str | None = None
+    reshard_ndev: int = 0
+    reshard_block: int = 1024
     max_stack_depth: int = 48          # traversal stack bound (TPU-side, static)
     leaf_size: int = 16                # tris per BVH leaf (packet traversal wants fat leaves)
     dtype: str = "float32"

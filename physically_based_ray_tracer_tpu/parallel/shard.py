@@ -29,15 +29,25 @@ def pad_to_devices(n: int, n_devices: int) -> int:
     return ((n + n_devices - 1) // n_devices) * n_devices
 
 
-def sharded_frame(mesh: Mesh, cfg: RenderConfig, axis: str = "tiles"):
+def sharded_frame(mesh: Mesh, cfg: RenderConfig, axis: str = "tiles",
+                  reshard_block: int = 0):
     """Build a jitted, sharded frame function.
 
     Returns ``step(scene, cam, film, key, sample, pixel_ids) -> (film', avg)``
     where ``film``/``pixel_ids``/outputs are sharded over ``axis`` and
     everything else is replicated.
+
+    ``reshard_block > 0`` enables per-bounce ring ray donation
+    (parallel/resharding.py): each bounce rebalances up to that many live
+    rays toward the ring neighbour — the bounce-depth load-balance analogue
+    of ring attention's KV rotation. Results are lane-deterministic, so the
+    image is unchanged.
     """
     tiles = P(axis)
     repl = P()
+    if reshard_block > 0:
+        cfg = cfg.replace(reshard_axis=axis, reshard_ndev=int(mesh.shape[axis]),
+                          reshard_block=reshard_block)
 
     def local_frame(scene, cam, film, key, sample, pixel_ids):
         return frame_fn(scene, cam, film, key, sample, pixel_ids, cfg=cfg)

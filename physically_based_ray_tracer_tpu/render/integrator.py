@@ -315,7 +315,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
 
 def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
-                collect_debug: bool = False):
+                collect_debug: bool = False, collect_live: bool = False):
     """Trace a batch of paths to completion; returns (radiance (B,3), primary Hit).
 
     One ``lax.scan`` over path vertices with a uniform body — the compiled
@@ -336,8 +336,37 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
     sg = jax.lax.stop_gradient
     accel_sg = jax.tree.map(sg, Accel(scene.bvh, scene.dense))
 
+    # Cross-chip ray re-sharding (SURVEY §2.5 ring row): inside shard_map,
+    # each bounce donates up to cfg.reshard_block surplus live rays to the
+    # ring neighbour before the vertex work and routes the results home
+    # after — per-lane results are pure functions of (ray, pixel_id, RNG
+    # ids), so rebalancing never changes the image. Enabled by
+    # sharded_frame(..., reshard_block=N); a no-op when reshard_axis is None
+    # or on a 1-chip mesh.
+    resharding = (cfg.reshard_axis is not None and cfg.reshard_ndev > 1
+                  and not collect_debug)
+    if resharding:
+        from physically_based_ray_tracer_tpu.parallel.resharding import (
+            ring_donate, ring_restore)
+    pixel_id0 = pixel_id
+
     def body(carry, depth):
         o, d, radiance, throughput, alive, primary_t = carry
+
+        if resharding:
+            lanes = dict(o=o, d=d, radiance=radiance, throughput=throughput,
+                         primary_t=primary_t,
+                         pixel_id=pixel_id0, alive_f=alive)
+            lanes, live2, meta = ring_donate(
+                lanes, alive, cfg.reshard_axis, cfg.reshard_ndev,
+                min(cfg.reshard_block, B))
+            o, d = lanes["o"], lanes["d"]
+            radiance, throughput = lanes["radiance"], lanes["throughput"]
+            primary_t = lanes["primary_t"]
+            pixel_id = lanes["pixel_id"]
+            alive = live2
+        else:
+            pixel_id = pixel_id0
 
         alive_in = alive
         t_init = jnp.where(alive, BVH_FAR, 0.0)
@@ -416,7 +445,18 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
                       point + bounce_dir * EPSILON)
         d = jnp.where(is_dielectric[:, None], diel_dir, bounce_dir)
         alive = alive & jnp.where(is_dielectric, True, valid)
+        if resharding:
+            out = ring_restore(
+                dict(o=o, d=d, radiance=radiance, throughput=throughput,
+                     primary_t=primary_t, alive_f=alive),
+                meta, cfg.reshard_axis, cfg.reshard_ndev)
+            o, d = out["o"], out["d"]
+            radiance, throughput = out["radiance"], out["throughput"]
+            primary_t, alive = out["primary_t"], out["alive_f"]
         dbg = None
+        if collect_live:
+            # post-donation live-lane count per bounce (resharding artifact)
+            dbg = jnp.sum(alive_in.astype(jnp.int32))
         if collect_debug:
             dbg = {
                 "ray_o": o_prev, "ray_d": d_prev,
@@ -442,7 +482,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
     neg1 = jnp.full((B,), -1, jnp.int32)
     primary_hit = Hit(t=primary_t, u=jnp.zeros((B,), o.dtype),
                       v=jnp.zeros((B,), o.dtype), prim=neg1, inst=neg1)
-    if collect_debug:
+    if collect_debug or collect_live:
         return radiance, primary_hit, debug
     return radiance, primary_hit
 

@@ -96,11 +96,14 @@ def make_cornell_walls(size=1.0):
     white = (0.73, 0.73, 0.73)
     red = (0.65, 0.05, 0.05)
     green = (0.12, 0.45, 0.15)
+    # wound so face normals point INTO the room (the camera side): an
+    # outward normal makes every clamped dot(N, L) zero and the interior
+    # renders black (round-3 fix; config #2 golden pins this)
     walls = [
-        (make_quad([-s, -s, -s], [s, -s, -s], [s, -s, s], [-s, -s, s]), white),   # floor
-        (make_quad([-s, s, s], [s, s, s], [s, s, -s], [-s, s, -s]), white),        # ceiling
-        (make_quad([-s, -s, -s], [-s, s, -s], [s, s, -s], [s, -s, -s]), white),    # back
-        (make_quad([-s, -s, s], [-s, s, s], [-s, s, -s], [-s, -s, -s]), red),      # left
-        (make_quad([s, -s, -s], [s, s, -s], [s, s, s], [s, -s, s]), green),        # right
+        (make_quad([-s, -s, -s], [-s, -s, s], [s, -s, s], [s, -s, -s]), white),   # floor
+        (make_quad([-s, s, s], [-s, s, -s], [s, s, -s], [s, s, s]), white),        # ceiling
+        (make_quad([-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s]), white),    # back
+        (make_quad([-s, -s, s], [-s, -s, -s], [-s, s, -s], [-s, s, s]), red),      # left
+        (make_quad([s, -s, -s], [s, -s, s], [s, s, s], [s, s, -s]), green),        # right
     ]
     return walls

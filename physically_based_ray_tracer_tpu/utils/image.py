@@ -53,6 +53,27 @@ def read_image(path: str) -> np.ndarray:
     return arr
 
 
+def write_hdr(path: str, img: np.ndarray) -> str:
+    """Write an (H, W, 3) float32 RGB image as a Radiance .hdr (RGBE, flat
+    scanlines) — the inverse of read_hdr, used for skydome fixtures."""
+    img = np.asarray(img, np.float32)
+    h, w, _ = img.shape
+    m = img.max(axis=-1)
+    exp = np.zeros((h, w), np.int32)
+    nz = m > 1e-32
+    exp[nz] = np.frexp(m[nz])[1]
+    scale = np.where(nz, np.ldexp(1.0, -exp) * 256.0, 0.0).astype(np.float32)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(b"-Y %d +X %d\n" % (h, w))
+        f.write(rgbe.tobytes())
+    return path
+
+
 def read_hdr(path: str) -> np.ndarray:
     """Read a Radiance .hdr file to float32 RGB (stbi_loadf replacement).
 

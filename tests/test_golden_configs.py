@@ -1,0 +1,128 @@
+"""Golden-image regression tests for BASELINE eval configs 2 and 4.
+
+Config 2: Cornell box + AreaLight, 4-bounce NEE (BASELINE.json configs).
+Config 4: pinball geometry + skydome IBL + glossy BRDFs
+          (Core/Camera.cpp:43-74 skydome sampling; PinballMachine meshes).
+
+Both render through the DEFAULT (pallas) engine at a fixed seed and compare
+against committed golden PNGs, like tests/test_golden_scene1.py (config 3's
+anchor). Regenerate after an intentional change with:
+    PYTHONPATH=. python tests/test_golden_configs.py regen
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+CORNELL_GOLDEN = os.path.join(GOLDEN_DIR, "cornell_64.png")
+PINBALL_GOLDEN = os.path.join(GOLDEN_DIR, "pinball_96x64.png")
+SKY_FIXTURE = os.path.join(GOLDEN_DIR, "sky_32x16.hdr")
+PINBALL_DIR = "/root/reference/Core/assets/prefabs/models/PinballMachine/Meshes"
+
+
+def _sky_fixture() -> np.ndarray:
+    """Deterministic 32x16 HDR skydome: blue-to-orange gradient with a
+    bright 'sun' disc — enough dynamic range to exercise the RGBE path and
+    the bilinear equirect sampling (Core/Camera.cpp:43-74)."""
+    from physically_based_ray_tracer_tpu.utils.image import read_hdr, write_hdr
+
+    if not os.path.exists(SKY_FIXTURE):
+        h, w = 16, 32
+        ys = np.linspace(0, 1, h)[:, None, None]
+        xs = np.linspace(0, 1, w)[None, :, None]
+        sky = (np.concatenate([0.3 + 1.5 * ys, 0.4 + 0.8 * ys, 1.2 - 0.9 * ys],
+                              axis=-1)
+               * (0.6 + 0.4 * np.sin(2 * np.pi * xs)))
+        sky[3:6, 7:10] = [40.0, 35.0, 25.0]       # sun
+        write_hdr(SKY_FIXTURE, sky.astype(np.float32))
+    return read_hdr(SKY_FIXTURE)
+
+
+def _render_cornell():
+    from physically_based_ray_tracer_tpu.config import RenderConfig
+    from physically_based_ray_tracer_tpu.render.renderer import Renderer
+    from tests.scenes import cornell_scene
+
+    scene, cam = cornell_scene(area_light=True)
+    cfg = RenderConfig(width=64, height=64, bounces=4, antialias=False,
+                       skybox=False, max_stack_depth=32)
+    return Renderer(scene, cam, cfg).tick()
+
+
+def _render_pinball():
+    from physically_based_ray_tracer_tpu.config import RenderConfig
+    from physically_based_ray_tracer_tpu.models.gltf import load_gltf
+    from physically_based_ray_tracer_tpu.render.renderer import Renderer
+    from physically_based_ray_tracer_tpu.scene.camera import Camera
+    from physically_based_ray_tracer_tpu.scene.lights import LightSet
+    from physically_based_ray_tracer_tpu.scene.scene import (Instance,
+                                                             build_scene_instanced)
+
+    names = ["Ball.glb", "Flipper.glb", "Bumper.glb"]
+    models = []
+    for n in names:
+        m = load_gltf(os.path.join(PINBALL_DIR, n))
+        m.metalness, m.roughness = 0.9, 0.15        # glossy BRDF stress
+        models.append(m)
+    # normalise each mesh to unit size at distinct positions
+    insts = []
+    for k, m in enumerate(models):
+        c = m.corners.reshape(-1, 3)
+        ext = float(np.max(c.max(0) - c.min(0)))
+        mid = (c.max(0) + c.min(0)) / 2
+        s = 1.0 / max(ext, 1e-6)
+        insts.append(Instance(k, position=(k - 1.0, 0.0, 0.0),
+                              scale=(s, s, s),
+                              rotation=(0.0, 0.6 * k, 0.0)))
+        m.corners = (c - mid).astype(np.float32)    # recentre host-side
+    lights = LightSet.make(dir_pos=[[4, 6, 5]], dir_color=[[2, 2, 2]]) \
+        .pad_points(4)
+    scene, handle, depth = build_scene_instanced(models, insts, lights,
+                                                 sky=_sky_fixture())
+    cam = Camera.make(pos=(0, 0.6, 2.6), target=(0, 0, 0))
+    cfg = RenderConfig(width=96, height=64, bounces=3, antialias=False,
+                       skybox=True, max_stack_depth=max(depth + 2, 40))
+    return Renderer(scene, cam, cfg).tick()
+
+
+def _check(img, golden_path, tol=2e-4):
+    from physically_based_ray_tracer_tpu.utils.image import read_image
+
+    assert os.path.exists(golden_path), \
+        f"golden missing - run: PYTHONPATH=. python {__file__} regen"
+    ref = read_image(golden_path)[..., :3]
+    assert ref.shape == img.shape
+    mse = float(np.mean((img - ref) ** 2))
+    assert mse < tol, f"deviates from golden: MSE={mse:.2e}"
+
+
+def test_cornell_area_light_golden():
+    img = _render_cornell()
+    assert img.mean() > 0.01, "Cornell render suspiciously dark"
+    _check(img, CORNELL_GOLDEN)
+
+
+@pytest.mark.skipif(not os.path.isdir(PINBALL_DIR),
+                    reason="reference assets absent")
+def test_pinball_ibl_glossy_golden():
+    img = _render_pinball()
+    assert img.mean() > 0.01, "pinball render suspiciously dark"
+    _check(img, PINBALL_GOLDEN)
+
+
+if __name__ == "__main__" and "regen" in sys.argv[1:]:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from physically_based_ray_tracer_tpu.utils.image import write_png
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    write_png(CORNELL_GOLDEN, _render_cornell())
+    print("wrote", CORNELL_GOLDEN)
+    if os.path.isdir(PINBALL_DIR):
+        write_png(PINBALL_GOLDEN, _render_pinball())
+        print("wrote", PINBALL_GOLDEN)

@@ -107,3 +107,33 @@ def test_two_rounds_compose():
     got = np.asarray(f(payload, live))
     want = np.asarray(_trace_stub(payload, live))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_resharded_frame_matches_unresharded():
+    """The REAL bounce loop under shard_map with per-bounce ring donation
+    (sharded_frame(..., reshard_block=N)) must produce the same image as
+    the plain sharded frame — per-lane results are pure functions of
+    (ray, pixel_id), so rebalancing cannot change them (VERDICT r2 #4:
+    resharding integrated into the integrator, not just the stub)."""
+    import jax
+
+    from physically_based_ray_tracer_tpu.parallel.shard import sharded_frame
+    from physically_based_ray_tracer_tpu.render.film import FilmState
+    from tests.scenes import TINY, sphere_scene
+
+    scene, cam = sphere_scene()
+    # skewed camera: aim up so a band of chips sees only sky -> real
+    # live-lane imbalance for the donation pass to chew on
+    from physically_based_ray_tracer_tpu.scene.camera import Camera
+    cam = Camera.make(pos=(0, 1, 4), target=(0, 3.5, -2))
+    mesh = make_mesh(NDEV)
+    n_pix = TINY.n_pixels
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    film = FilmState.zeros(n_pix)
+    key = jax.random.key(0)
+
+    base = sharded_frame(mesh, TINY)(scene, cam, film, key, 0, ids)[1]
+    resh = sharded_frame(mesh, TINY, reshard_block=64)(
+        scene, cam, film, key, 0, ids)[1]
+    np.testing.assert_allclose(np.asarray(resh), np.asarray(base),
+                               atol=2e-6, rtol=1e-5)
