@@ -330,26 +330,321 @@ def _pack_groups(tri: np.ndarray, segments: list[np.ndarray]) -> np.ndarray:
 _NO_INST = np.zeros((1,), np.float32)
 
 
-def _build_core_any(tri: np.ndarray, leaf_target: int, hq: bool):
+# ---------------------------------------------------------------------------
+# Leaf shaping: the CombineLeafs/SplitLeafs + reinsertion-Optimize analogue
+# (tinybvh Core/tiny_bvh.h:2353, :1542, :2286, used at :4479-4487) driven by
+# THIS kernel's cost model instead of triangle counts: a leaf visit costs a
+# fixed group-load overhead plus ceil_pow2(count) roll iterations
+# (ops/pallas_trace.py leaf_visit), and a node step costs ~C_NODE roll
+# units (two (8,128) slab tests + scalar control). Children are visited
+# with probability ~ SA(child)/SA(parent) (the SAH surface-area measure).
+# ---------------------------------------------------------------------------
+
+C_NODE = 1.5    # node step cost, in leaf-roll-iteration units
+C_LEAF = 3.0    # fixed per-leaf-visit overhead (group slice load + setup)
+
+
+def _pow2(k: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(k, 1)))), 0)
+
+
+def _sa(lo, hi):
+    e = np.maximum(hi - lo, 0.0)
+    return float(2.0 * (e[0] * e[1] + e[1] * e[2] + e[2] * e[0]))
+
+
+def dense_sweep_cost(nodes: np.ndarray, segments: list[np.ndarray],
+                     bmin: np.ndarray, bmax: np.ndarray) -> float:
+    """Expected roll-units per root-entering tile under the SAH area
+    measure — the diagnostic tinybvh's SAHCost (:1532) plays, for the dense
+    cost model."""
+    seg_box = {}
+    for g, seg in enumerate(segments):
+        seg_box[g] = (bmin[seg].min(axis=0), bmax[seg].max(axis=0))
+
+    def child_cost(code, area_parent):
+        code = int(np.rint(code))
+        if code == ABSENT:
+            return 0.0
+        if code >= 0:
+            return node_cost(code, area_parent)
+        v = -(code + 1)
+        g = (v // 2) // 8
+        lo, hi = seg_box[g]
+        p = min(_sa(lo, hi) / max(area_parent, 1e-30), 1.0)
+        return p * (C_LEAF + _pow2(len(segments[g])))
+
+    def node_cost(i, area_parent):
+        lo0, hi0 = nodes[i, 0:3], nodes[i, 3:6]
+        lo1, hi1 = nodes[i, 6:9], nodes[i, 9:12]
+        a = _sa(np.minimum(lo0, lo1), np.maximum(hi0, hi1))
+        p = min(a / max(area_parent, 1e-30), 1.0)
+        c0 = int(np.rint(nodes[i, 12]))
+        c1 = int(np.rint(nodes[i, 13]))
+        out = C_NODE
+        for code, lo, hi in ((c0, lo0, hi0), (c1, lo1, hi1)):
+            code = int(code)
+            if code == ABSENT:
+                continue
+            if code >= 0:
+                out += node_cost(code, _sa(lo, hi) / max(p, 1e-30) * p)
+            else:
+                v = -(code + 1)
+                g = (v // 2) // 8
+                pc = min(_sa(lo, hi) / max(a, 1e-30), 1.0)
+                out += pc * (C_LEAF + _pow2(len(segments[g])))
+        return out * p if False else out  # flat per-visit accounting
+
+    # approximate: treat each node's children probabilities locally
+    import sys
+    sys.setrecursionlimit(100000)
+    root_lo = np.minimum(nodes[0, 0:3], nodes[0, 6:9])
+    root_hi = np.maximum(nodes[0, 3:6], nodes[0, 9:12])
+    return _cost_rec(nodes, segments, seg_box, 0, _sa(root_lo, root_hi))
+
+
+def _cost_rec(nodes, segments, seg_box, i, area_root):
+    """Σ over nodes/leaves of P(visit) * step cost (classic SAH form with
+    the dense leaf cost)."""
+    total = 0.0
+    stack = [(0, None)]
+    while stack:
+        i, box = stack.pop()
+        if box is None:
+            lo = np.minimum(nodes[i, 0:3], nodes[i, 6:9])
+            hi = np.maximum(nodes[i, 3:6], nodes[i, 9:12])
+        else:
+            lo, hi = box
+        total += C_NODE * _sa(lo, hi) / area_root
+        for side in range(2):
+            code = int(np.rint(nodes[i, 12 + side]))
+            if code == ABSENT:
+                continue
+            clo = nodes[i, 6 * side:6 * side + 3]
+            chi = nodes[i, 6 * side + 3:6 * side + 6]
+            if code >= 0:
+                stack.append((code, (clo, chi)))
+            else:
+                v = -(code + 1)
+                if v % 2 == 1:
+                    continue   # instance leaf: costed in its BLAS
+                g = (v // 2) // 8
+                total += (_sa(clo, chi) / area_root
+                          * (C_LEAF + _pow2(len(segments[g]))))
+    return total
+
+
+def shape_dense_leaves(tri: np.ndarray, nodes: np.ndarray,
+                       segments: list[np.ndarray], min_leaf: int = 24,
+                       hysteresis: float = 0.9,
+                       ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Cost-driven leaf merge/split post-pass (CombineLeafs/SplitLeafs
+    analogue). Exact: traversal results are unchanged for any tree shape;
+    only the expected sweep cost moves.
+
+    * merge: an internal node whose children are both triangle leaves is
+      collapsed when  C_LEAF + pow2(a+b) < C_NODE + Pa*(C_LEAF + pow2(a))
+      + Pb*(C_LEAF + pow2(b))  (pow2 padding often makes the union free);
+    * split: a leaf is split by the SAH axis median when two children are
+      expected to cost ``hysteresis``-fraction less than its padded sweep,
+      and never below ``min_leaf`` triangles (group memory is constant per
+      leaf, so over-splitting trades sweep time for footprint).
+    """
+    bmin = tri.min(axis=1)
+    bmax = tri.max(axis=1)
+
+    def seg_bounds(seg):
+        return bmin[seg].min(axis=0), bmax[seg].max(axis=0)
+
+    # --- decode to a little tree of dicts ---------------------------------
+    def decode(i):
+        node = {"kind": "node"}
+        for side in range(2):
+            code = int(np.rint(nodes[i, 12 + side]))
+            if code == ABSENT:
+                node[f"c{side}"] = None
+            elif code >= 0:
+                node[f"c{side}"] = decode(code)
+            else:
+                v = -(code + 1)
+                if v % 2 == 1:
+                    node[f"c{side}"] = {"kind": "inst", "iid": v // 2}
+                else:
+                    g = (v // 2) // 8
+                    node[f"c{side}"] = {"kind": "leaf",
+                                        "seg": segments[g].copy()}
+        return node
+
+    import sys
+    sys.setrecursionlimit(100000)
+    root = decode(0)
+
+    # --- merge pass (bottom-up) -------------------------------------------
+    def merge(nd):
+        if nd is None or nd["kind"] != "node":
+            return nd
+        nd["c0"] = merge(nd["c0"])
+        nd["c1"] = merge(nd["c1"])
+        a, b = nd["c0"], nd["c1"]
+        if (a is not None and b is not None
+                and a["kind"] == "leaf" and b["kind"] == "leaf"
+                and len(a["seg"]) + len(b["seg"]) <= LEAF_W):
+            la, ha = seg_bounds(a["seg"])
+            lb, hb = seg_bounds(b["seg"])
+            lu = np.minimum(la, lb)
+            hu = np.maximum(ha, hb)
+            sa_u = max(_sa(lu, hu), 1e-30)
+            pa = min(_sa(la, ha) / sa_u, 1.0)
+            pb = min(_sa(lb, hb) / sa_u, 1.0)
+            cost_split = (C_NODE + pa * (C_LEAF + _pow2(len(a["seg"])))
+                          + pb * (C_LEAF + _pow2(len(b["seg"]))))
+            cost_merged = C_LEAF + _pow2(len(a["seg"]) + len(b["seg"]))
+            if cost_merged < cost_split:
+                return {"kind": "leaf",
+                        "seg": np.concatenate([a["seg"], b["seg"]])}
+        return nd
+
+    root = merge(root)
+
+    # --- split pass (top-down, recursive on new leaves) --------------------
+    def try_split(leaf):
+        seg = leaf["seg"]
+        k = len(seg)
+        # min_leaf floor: every group costs a fixed 8 KB regardless of
+        # count, so tiny leaves trade a little sweep time for a huge
+        # VMEM/HBM footprint (and fall out of the VMEM group budget)
+        if k < 2 * min_leaf:
+            return leaf
+        lo, hi = seg_bounds(seg)
+        c = centroid = (bmin[seg] + bmax[seg]) * 0.5
+        ax = int(np.argmax(hi - lo))
+        order = seg[np.argsort(centroid[:, ax], kind="stable")]
+        m = k // 2
+        a, b = order[:m], order[m:]
+        la, ha = seg_bounds(a)
+        lb, hb = seg_bounds(b)
+        sa_u = max(_sa(lo, hi), 1e-30)
+        pa = min(_sa(la, ha) / sa_u, 1.0)
+        pb = min(_sa(lb, hb) / sa_u, 1.0)
+        cost_split = (C_NODE + pa * (C_LEAF + _pow2(len(a)))
+                      + pb * (C_LEAF + _pow2(len(b))))
+        if cost_split < hysteresis * (C_LEAF + _pow2(k)):
+            return {"kind": "node",
+                    "c0": try_split({"kind": "leaf", "seg": a}),
+                    "c1": try_split({"kind": "leaf", "seg": b})}
+        return leaf
+
+    def split_all(nd):
+        if nd is None:
+            return None
+        if nd["kind"] == "leaf":
+            return try_split(nd)
+        if nd["kind"] == "node":
+            nd["c0"] = split_all(nd["c0"])
+            nd["c1"] = split_all(nd["c1"])
+        return nd
+
+    root = split_all(root)
+
+    # --- re-emit node array + segments -------------------------------------
+    new_segments: list[np.ndarray] = []
+    out_nodes: list[np.ndarray] = []
+
+    def subtree_bounds(nd):
+        if nd["kind"] == "leaf":
+            return seg_bounds(nd["seg"])
+        if nd["kind"] == "inst":
+            raise AssertionError("shape_dense_leaves runs on single BLAS trees")
+        los, his = [], []
+        for side in range(2):
+            ch = nd[f"c{side}"]
+            if ch is not None:
+                lo, hi = subtree_bounds(ch)
+                los.append(lo)
+                his.append(hi)
+        return np.min(los, axis=0), np.max(his, axis=0)
+
+    def emit(nd):
+        """Returns the child code for nd, emitting nodes as needed."""
+        if nd["kind"] == "leaf":
+            g = len(new_segments)
+            new_segments.append(nd["seg"])
+            log2c = max(int(np.ceil(np.log2(max(len(nd["seg"]), 1)))), 0)
+            return _tri_code(g, log2c)
+        idx = len(out_nodes)
+        row = np.zeros(NODE_F, np.float32)
+        row[12:14] = ABSENT
+        out_nodes.append(row)
+        for side in range(2):
+            ch = nd[f"c{side}"]
+            if ch is None:
+                continue
+            lo, hi = subtree_bounds(ch)
+            row[6 * side:6 * side + 3] = lo
+            row[6 * side + 3:6 * side + 6] = hi
+            row[12 + side] = emit(ch)
+        return float(idx)
+
+    if root["kind"] == "leaf":
+        # everything merged: synthesize an internal root (kernel enters at 0)
+        lo, hi = seg_bounds(root["seg"])
+        row = np.zeros(NODE_F, np.float32)
+        row[0:3] = lo
+        row[3:6] = hi
+        row[12:14] = ABSENT
+        out_nodes.append(row)
+        g = len(new_segments)
+        new_segments.append(root["seg"])
+        log2c = max(int(np.ceil(np.log2(max(len(root["seg"]), 1)))), 0)
+        row[12] = _tri_code(g, log2c)
+    else:
+        emit(root)
+    return np.stack(out_nodes), new_segments
+
+
+def _build_core_any(tri: np.ndarray, leaf_target: int, hq: bool,
+                    shape: bool = False):
     if hq:
         out = _build_core_hq(tri, leaf_target)
-        if out is not None:
-            return out
-    return _build_core(tri, leaf_target)
+        if out is None:
+            out = _build_core(tri, leaf_target)
+    else:
+        out = _build_core(tri, leaf_target)
+    if shape:
+        nodes, segments, depth, lo, hi = out
+        nodes, segments = shape_dense_leaves(tri, nodes, segments)
+        # depth can only shrink on merge / grow by split levels; recompute
+        depth = _tree_depth(nodes)
+        out = (nodes, segments, depth, lo, hi)
+    return out
+
+
+def _tree_depth(nodes: np.ndarray) -> int:
+    depth = 1
+    stack = [(0, 1)]
+    while stack:
+        n, d = stack.pop()
+        depth = max(depth, d)
+        for side in range(2):
+            c = int(np.rint(nodes[n, 12 + side]))
+            if c >= 0:
+                stack.append((c, d + 1))
+    return depth
 
 
 def build_dense(triangles: np.ndarray, leaf_target: int = 64,
-                hq: bool = False) -> tuple["DenseBVH", int]:
+                hq: bool = False, shape: bool = False) -> tuple["DenseBVH", int]:
     """Single-level build over one triangle soup (prim ids global).
 
     hq=True uses the native SBVH core (spatial splits, BuildHQ analogue)
-    when the toolchain is available. Returns (DenseBVH, depth).
+    when the toolchain is available. shape=True runs the cost-driven leaf
+    merge/split post-pass (shape_dense_leaves). Returns (DenseBVH, depth).
     """
     tri = np.asarray(triangles, np.float32)
     if tri.ndim == 2:
         tri = tri.reshape(-1, 3, 3)
     nodes, segments, depth, root_lo, root_hi = _build_core_any(
-        tri, leaf_target, hq)
+        tri, leaf_target, hq, shape)
     groups = _pack_groups(tri, segments)
     dbvh = DenseBVH(
         nodes16=jnp.asarray(nodes.reshape(-1)),
@@ -448,6 +743,7 @@ def _inst_rows(inst_mesh, transforms, blas_root):
 
 def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
                      leaf_target: int = 64, hq: bool = False,
+                     shape: bool = False,
                      ) -> tuple["DenseBVH", TLASMeta, int]:
     """Two-level build: one shared BLAS per mesh + TLAS over instances.
 
@@ -473,7 +769,8 @@ def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
         tri = np.asarray(tri, np.float32)
         if tri.ndim == 2:
             tri = tri.reshape(-1, 3, 3)
-        nodes, segments, dep, rlo, rhi = _build_core_any(tri, leaf_target, hq)
+        nodes, segments, dep, rlo, rhi = _build_core_any(tri, leaf_target, hq,
+                                                         shape)
         blas_nodes.append(nodes)
         blas_groups.append(_pack_groups(tri, segments))
         blas_lo.append(rlo)

@@ -48,7 +48,50 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--draw-bvh", type=int, default=None, metavar="LEVEL",
                    help="overlay BVH node AABB wireframes at the given tree "
                         "level on the capture (debug-draw analogue)")
+    p.add_argument("--session", action="store_true",
+                   help="headless edit session over --assets: stdin commands "
+                        "(move/light/cam/render/capture/watch/quit) mutate "
+                        "live state AND write the scene JSONs back — the "
+                        "editor live-edit loop without a window")
     return p
+
+
+def run_session(args, cfg):
+    """stdin-driven edit-render loop (see session.EditSession)."""
+    from physically_based_ray_tracer_tpu.session import EditSession
+
+    s = EditSession(args.assets, args.scene, cfg=cfg)
+    print("session ready; commands: move NAME X Y Z | light KIND IDX "
+          "pos|color X Y Z | cam PX PY PZ [TX TY TZ] | render [SPP] | "
+          "capture [PATH] | watch | quit", file=sys.stderr)
+    for line in sys.stdin:
+        try:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "quit":
+                break
+            elif tok[0] == "move":
+                s.edit_object(tok[1], position=[float(x) for x in tok[2:5]])
+            elif tok[0] == "light":
+                kw = {"pos": "position", "color": "color"}[tok[3]]
+                s.edit_light(tok[1], int(tok[2]),
+                             **{kw: [float(x) for x in tok[4:7]]})
+            elif tok[0] == "cam":
+                v = [float(x) for x in tok[1:]]
+                s.edit_camera(pos=v[:3], target=v[3:6] if len(v) >= 6 else None)
+            elif tok[0] == "render":
+                s.render(samples=int(tok[1]) if len(tok) > 1 else 1)
+                print(f"rendered: {s.renderer.stats.frame_ms:.1f} ms",
+                      file=sys.stderr)
+            elif tok[0] == "capture":
+                print("wrote", s.capture(tok[1] if len(tok) > 1 else None))
+            elif tok[0] == "watch":
+                print("changed:", s.watch_once(), file=sys.stderr)
+            else:
+                print(f"unknown command: {tok[0]}", file=sys.stderr)
+        except Exception as e:  # keep the session alive on bad input
+            print(f"error: {e}", file=sys.stderr)
 
 
 def main(argv=None):
@@ -68,6 +111,13 @@ def main(argv=None):
         normal_mapped=not args.no_normal_map,
         stochastic_lights=not args.no_stochastic,
         post_processed=args.post)
+
+    if args.session:
+        if args.assets is None:
+            print("--session requires --assets", file=sys.stderr)
+            return
+        run_session(args, cfg)
+        return
 
     if args.demo == "cornell":
         from physically_based_ray_tracer_tpu.scene.presets import cornell_box
