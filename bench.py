@@ -23,7 +23,8 @@ def build_bench_scene():
     from physically_based_ray_tracer_tpu.scene.camera import Camera
     from physically_based_ray_tracer_tpu.scene.lights import LightSet
     from physically_based_ray_tracer_tpu.scene.procedural import make_quad, make_sphere
-    from physically_based_ray_tracer_tpu.scene.scene import Instance, MeshModel, build_scene
+    from physically_based_ray_tracer_tpu.scene.scene import (Instance, MeshModel,
+                                                             build_scene_instanced)
 
     sphere = MeshModel.from_fat(make_sphere(radius=1.0, lat=32, lon=64),
                                 base_color=(0.8, 0.3, 0.2), roughness=0.4, metalness=0.2)
@@ -39,7 +40,10 @@ def build_bench_scene():
     instances = [Instance(0, position=(dx, 0, dz))
                  for dx in (-2.2, 0.0, 2.2) for dz in (-2.2, 0.0, 2.2)]
     instances.append(Instance(1))
-    scene, depth = build_scene([sphere, floor], instances, lights)
+    # production dynamic path: shared BLAS per mesh + TLAS (the sphere mesh
+    # is stored ONCE, not 9x), no legacy world-baked BVH (pallas-only)
+    scene, _handle, depth = build_scene_instanced([sphere, floor], instances,
+                                                  lights, legacy_bvh=False)
     cam = Camera.make(pos=(0, 2.5, 7), target=(0, 0, 0))
     return scene, cam, depth
 
@@ -65,8 +69,14 @@ def main():
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # one_shadow_ray: the single-lane point-NEE estimator (converges to the
+    # physically-consistent per-light sum; converged delta vs the reference
+    # quirk estimator is on record in docs/ONE_SHADOW.json) — it removes the
+    # NP*B occlusion pass that profiling showed was 74% of the frame
+    # (docs/PROFILE_r03.json).
     cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
-                       skybox=False, max_stack_depth=32, traversal="pallas")
+                       skybox=False, max_stack_depth=32, traversal="pallas",
+                       one_shadow_ray=True)
     scene, cam, depth = build_bench_scene()
 
     n_pix = cfg.n_pixels

@@ -83,6 +83,12 @@ def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
     incoherent bounce and shadow wavefronts, skippable for primary rays
     already in Morton pixel order."""
     bvh = accel.bvh
+    if cfg.traversal == "pallas_rows":
+        from physically_based_ray_tracer_tpu.ops.pallas_rows import (
+            rows_closest_dense, sorted_rows_closest)
+        fn = sorted_rows_closest if (sort and cfg.sort_rays) \
+            else rows_closest_dense
+        return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
     if cfg.traversal == "pallas":
         from physically_based_ray_tracer_tpu.ops.pallas_trace import (
             intersect_closest_dense, sorted_closest_dense)
@@ -109,6 +115,11 @@ def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
 
 def _anyhit(accel: Accel, cfg: RenderConfig, o, d, t_max, sort=False):
     bvh = accel.bvh
+    if cfg.traversal == "pallas_rows":
+        from physically_based_ray_tracer_tpu.ops.pallas_rows import (
+            rows_any_dense, sorted_rows_any)
+        fn = sorted_rows_any if (sort and cfg.sort_rays) else rows_any_dense
+        return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
     if cfg.traversal == "pallas":
         from physically_based_ray_tracer_tpu.ops.pallas_trace import (
             intersect_any_dense, sorted_any_dense)

@@ -203,7 +203,8 @@ def _assemble(models, bvh, dense, baked, lights, sky):
 
 def build_scene(models: list[MeshModel], instances: list[Instance],
                 lights: LightSet | None = None, sky: np.ndarray | None = None,
-                leaf_size: int = 16, dense_leaf_target: int = 64,
+                leaf_size: int = 16, dense_leaf_target: int = 32,
+                dense_shape: bool = True,
                 ) -> tuple[SceneData, int]:
     """Bake instances to world space, build the flattened BVH, upload.
 
@@ -213,7 +214,8 @@ def build_scene(models: list[MeshModel], instances: list[Instance],
     baked = _bake_world(models, instances)
     bvh = build_bvh(baked["tri"], leaf_size=leaf_size)
     depth = bvh_depth(bvh)
-    dense, _ = build_dense(baked["tri"], leaf_target=dense_leaf_target)
+    dense, _ = build_dense(baked["tri"], leaf_target=dense_leaf_target,
+                           shape=dense_shape)
     data = _assemble(models, bvh.to_device(), dense, baked, lights, sky)
     return data, depth
 
@@ -257,7 +259,8 @@ def _bake_one(mdl: MeshModel, inst: Instance):
 def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
                           lights: LightSet | None = None,
                           sky: np.ndarray | None = None,
-                          leaf_size: int = 16, dense_leaf_target: int = 64,
+                          leaf_size: int = 16, dense_leaf_target: int = 32,
+                          dense_shape: bool = True,
                           legacy_bvh: bool = True,
                           ) -> tuple[SceneData, InstancedScene, int]:
     """Two-level build: shared BLAS per model + TLAS over instances.
@@ -277,7 +280,8 @@ def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
     inst_mesh = np.array([i.model for i in instances], np.int64)
     transforms = np.stack([i.transform for i in instances]).astype(np.float32)
     dense, meta, ddepth = build_dense_tlas(mesh_tris, inst_mesh, transforms,
-                                           leaf_target=dense_leaf_target)
+                                           leaf_target=dense_leaf_target,
+                                           shape=dense_shape)
     if legacy_bvh:
         bvh = build_bvh(baked["tri"], leaf_size=leaf_size)
         depth = max(bvh_depth(bvh), ddepth)
