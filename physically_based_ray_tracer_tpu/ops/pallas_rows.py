@@ -51,16 +51,16 @@ NEEDPOP = 0x7FFFFFFD    # row must pop its stack next node phase
 BIG = 1e30
 
 
-def _kernel(nodes_ref, groups_ref, inst_ref,
+def _kernel(nodes_ref, groups_ref, inst_ref, perm_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_ref, u_ref, v_ref, prim_ref, iout_ref,
             cur8, sp8, inst8, pend8, stack_ref, nrow_ref,
-            grow_ref, *scratch,
+            stag_ref, *scratch,
             closest, groups_hbm, two_level, max_steps, stack_cap, interpret):
     sc = list(scratch)
     rays_ref = sc.pop(0) if two_level else None
     if groups_hbm:
-        stag_ref, gsem = sc
+        (gsem,) = sc
 
     tmax = tmax_ref[:]
     t_ref[:] = tmax if closest else jnp.zeros_like(tmax)
@@ -68,6 +68,9 @@ def _kernel(nodes_ref, groups_ref, inst_ref,
     v_ref[:] = jnp.zeros_like(tmax)
     prim_ref[:] = jnp.full(tmax.shape, -1, jnp.int32)
     iout_ref[:] = jnp.full(tmax.shape, -1, jnp.int32)
+    # the leaf permutation matmul multiplies EVERY staging row by 0 or 1:
+    # uninitialized rows would poison the products with 0*NaN
+    stag_ref[:] = jnp.zeros((R * GROUP_ROWS, 128), jnp.float32)
 
     wx, wy, wz = ox_ref[:], oy_ref[:], oz_ref[:]
     wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -241,7 +244,9 @@ def _kernel(nodes_ref, groups_ref, inst_ref,
     def leaf_phase():
         rays = read_rays()
         ox, oy, oz, dx, dy, dz = rays[:6]
-        # assemble each pending row's group block, component-major
+        # assemble each pending row's group block at stride GROUP_ROWS,
+        # then ONE MXU permutation matmul transposes (row, comp) ->
+        # component-major (comp*8 + row) for the (8,128) sweep registers
         if groups_hbm:
             cps = []
             for r in range(R):
@@ -254,16 +259,13 @@ def _kernel(nodes_ref, groups_ref, inst_ref,
                 cps.append(cp)
             for cp in cps:
                 cp.wait()
-            for k in range(10):
-                for r in range(R):
-                    grow_ref[pl.ds(R * k + r, 1), :] = \
-                        stag_ref[pl.ds(r * GROUP_ROWS + k, 1), :]
         else:
             for r in range(R):
                 g = jnp.maximum(pend8[r] // 8, 0)
-                for k in range(10):
-                    grow_ref[pl.ds(R * k + r, 1), :] = \
-                        groups_ref[pl.ds(g * GROUP_ROWS + k, 1), :]
+                stag_ref[pl.ds(r * GROUP_ROWS, GROUP_ROWS), :] = \
+                    groups_ref[pl.ds(g * GROUP_ROWS, GROUP_ROWS), :]
+        grow = jnp.dot(perm_ref[:], stag_ref[:],
+                       preferred_element_type=jnp.float32)
 
         # per-row active mask + max sweep length
         maskv = jnp.concatenate(
@@ -275,7 +277,7 @@ def _kernel(nodes_ref, groups_ref, inst_ref,
                             jnp.int32(1) << (pend8[r] % 8), 1)
             max_c = jnp.maximum(max_c, c_r)
 
-        comps0 = [grow_ref[pl.ds(R * k, R), :] for k in range(10)]
+        comps0 = [grow[R * k:R * k + R, :] for k in range(10)]
         row_on = maskv > 0.5                    # (R,1) bool
         instv = jnp.concatenate(
             [inst8[r].astype(jnp.float32).reshape(1, 1) for r in range(R)],
@@ -393,6 +395,13 @@ def _call_rows(dbvh: DenseBVH, o, d, t_max, *, closest, interpret=False):
 
     nodes = dbvh.nodes16.reshape(-1, NODE_F)
     group_space = pltpu.ANY if groups_hbm else pltpu.VMEM
+    # permutation: out row comp*8 + r  <-  staging row r*GROUP_ROWS + comp
+    import numpy as _np
+    permm = _np.zeros((128, R * GROUP_ROWS), _np.float32)
+    for r_ in range(R):
+        for k_ in range(10):
+            permm[k_ * R + r_, r_ * GROUP_ROWS + k_] = 1.0
+    permm = jnp.asarray(permm)
     ray_spec = pl.BlockSpec((R, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, closest=closest, groups_hbm=groups_hbm,
@@ -406,13 +415,12 @@ def _call_rows(dbvh: DenseBVH, o, d, t_max, *, closest, interpret=False):
         pltpu.SMEM((R,), jnp.int32),            # pend8
         pltpu.SMEM((R, stack_depth), jnp.int32),  # stacks
         pltpu.VMEM((R, 16), jnp.float32),       # node rows
-        pltpu.VMEM((R * 10, 128), jnp.float32),  # leaf components
+        pltpu.VMEM((R * GROUP_ROWS, 128), jnp.float32),  # leaf staging
     ]
     if two_level:
         scratch += [pltpu.VMEM((72, 128), jnp.float32)]
     if groups_hbm:
-        scratch += [pltpu.VMEM((R * GROUP_ROWS, 128), jnp.float32),
-                    pltpu.SemaphoreType.DMA((R,))]
+        scratch += [pltpu.SemaphoreType.DMA((R,))]
     t, u, v, prim, inst = pl.pallas_call(
         kern,
         grid=(n_prog,),
@@ -420,6 +428,7 @@ def _call_rows(dbvh: DenseBVH, o, d, t_max, *, closest, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=group_space),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             ray_spec,
         ],
@@ -433,7 +442,7 @@ def _call_rows(dbvh: DenseBVH, o, d, t_max, *, closest, interpret=False):
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(nodes, dbvh.groups, dbvh.inst16, ox, oy, oz, dx, dy, dz, tm)
+    )(nodes, dbvh.groups, dbvh.inst16, permm, ox, oy, oz, dx, dy, dz, tm)
     return (x.reshape(-1)[:B] for x in (t, u, v, prim, inst))
 
 

@@ -50,7 +50,7 @@ from physically_based_ray_tracer_tpu.ops.traverse import (intersect_any,
                                                           intersect_closest,
                                                           refine_hit)
 from physically_based_ray_tracer_tpu.ops.traverse_packet import (
-    intersect_any_packet, intersect_closest_packet)
+    intersect_any_packet, intersect_closest_packet, morton_order)
 from physically_based_ray_tracer_tpu.scene.camera import Camera, primary_rays, sample_skybox
 from physically_based_ray_tracer_tpu.scene.lights import sample_area_rect
 from physically_based_ray_tracer_tpu.scene.material import (geometry_normal,
@@ -379,9 +379,29 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         else:
             pixel_id = pixel_id0
 
+        # ONE wavefront sort per bounce: permute the whole per-lane carry
+        # into octant+Morton order up front (dead lanes to the back), run
+        # the closest-hit AND the NEE occlusion pass in that order with
+        # their internal sorts disabled, and un-permute at the bounce end.
+        # Shadow rays inherit the bounce sort's origin coherence (they
+        # start at the same hit points), so the second argsort+gathers per
+        # bounce are pure overhead (docs/PERF_LOG.md).
+        body_sort = cfg.sort_rays and not collect_debug
+        if body_sort:
+            perm = morton_order(sg(o), sg(d), accel_sg.dense.world_lo,
+                                accel_sg.dense.world_hi, dead=~alive)
+            tk = lambda x: jnp.take(x, perm, axis=0)
+            o, d = tk(o), tk(d)
+            radiance, throughput = tk(radiance), tk(throughput)
+            alive, primary_t = tk(alive), tk(primary_t)
+            pixel_id = tk(pixel_id)
+            cfg_b = cfg.replace(sort_rays=False)
+        else:
+            cfg_b = cfg
+
         alive_in = alive
         t_init = jnp.where(alive, BVH_FAR, 0.0)
-        hit = _closest(accel_sg, cfg, sg(o), sg(d), sg(t_init), sort=True)
+        hit = _closest(accel_sg, cfg_b, sg(o), sg(d), sg(t_init), sort=True)
         # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
         found = hit.prim >= 0
@@ -409,7 +429,8 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
 
         vertex_rad = throughput * material.emissive
         vertex_rad = vertex_rad + throughput * direct_lighting(
-            scene, cfg, point, shad_n, v, material, pixel_id, key, sample, depth)
+            scene, cfg_b, point, shad_n, v, material, pixel_id, key, sample,
+            depth)
 
         last = depth == cfg.bounces - 1
         # reference: the dielectric branch discards this vertex's own
@@ -456,6 +477,12 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
                       point + bounce_dir * EPSILON)
         d = jnp.where(is_dielectric[:, None], diel_dir, bounce_dir)
         alive = alive & jnp.where(is_dielectric, True, valid)
+        if body_sort:
+            inv = jnp.argsort(perm)
+            utk = lambda x: jnp.take(x, inv, axis=0)
+            o, d = utk(o), utk(d)
+            radiance, throughput = utk(radiance), utk(throughput)
+            alive, primary_t = utk(alive), utk(primary_t)
         if resharding:
             out = ring_restore(
                 dict(o=o, d=d, radiance=radiance, throughput=throughput,
