@@ -394,7 +394,7 @@ def _call_rows(dbvh: DenseBVH, o, d, t_max, *, closest, interpret=False):
     tm = _pack(t_max, n_prog, pad)
 
     nodes = dbvh.nodes16.reshape(-1, NODE_F)
-    group_space = pltpu.ANY if groups_hbm else pltpu.VMEM
+    group_space = pl.ANY if groups_hbm else pltpu.VMEM
     # permutation: out row comp*8 + r  <-  staging row r*GROUP_ROWS + comp
     import numpy as _np
     permm = _np.zeros((128, R * GROUP_ROWS), _np.float32)

@@ -360,7 +360,7 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
 
     nodes = dbvh.nodes16 if smem_nodes else dbvh.nodes16.reshape(-1, NODE_F)
     node_space = pltpu.SMEM if smem_nodes else pltpu.VMEM
-    group_space = pltpu.ANY if groups_hbm else pltpu.VMEM
+    group_space = pl.ANY if groups_hbm else pltpu.VMEM
     ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_traverse_kernel, closest=closest,

@@ -203,7 +203,7 @@ def _assemble(models, bvh, dense, baked, lights, sky):
 
 def build_scene(models: list[MeshModel], instances: list[Instance],
                 lights: LightSet | None = None, sky: np.ndarray | None = None,
-                leaf_size: int = 16, dense_leaf_target: int = 32,
+                leaf_size: int = 16, dense_leaf_target: int = 16,
                 dense_shape: bool = True,
                 ) -> tuple[SceneData, int]:
     """Bake instances to world space, build the flattened BVH, upload.
@@ -259,7 +259,7 @@ def _bake_one(mdl: MeshModel, inst: Instance):
 def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
                           lights: LightSet | None = None,
                           sky: np.ndarray | None = None,
-                          leaf_size: int = 16, dense_leaf_target: int = 32,
+                          leaf_size: int = 16, dense_leaf_target: int = 16,
                           dense_shape: bool = True,
                           legacy_bvh: bool = True,
                           ) -> tuple[SceneData, InstancedScene, int]:
