@@ -271,3 +271,75 @@ def bvh_depth(bvh: BVHArrays) -> int:
             if c >= 0:
                 stack.append((c, d + 1))
     return depth
+
+
+def optimize_bvh(nodes_box: np.ndarray, nodes_child: np.ndarray,
+                 passes: int = 4) -> int:
+    """Greedy tree-rotation optimizer (the role of tinybvh's reinsertion
+    ``Optimize``, Core/tiny_bvh.h:2286/:3078-3181, in its cheap classic
+    form: Kensler-style rotations). For each internal node with an internal
+    child, consider swapping the other child with one of that child's
+    grandchildren; apply the rotation that most reduces the intermediate
+    node's surface area (the only term the global SAH cost changes by).
+    Mutates ``nodes_box``/``nodes_child`` in place; traversal results are
+    unchanged (same leaves, different interior grouping). Returns the
+    number of rotations applied.
+    """
+
+    def area(lo, hi):
+        e = np.maximum(hi - lo, 0.0)
+        return 2.0 * (e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+    def slot_box(n, s):
+        return (nodes_box[n, 6 * s:6 * s + 3].copy(),
+                nodes_box[n, 6 * s + 3:6 * s + 6].copy())
+
+    def set_slot(n, s, lo, hi):
+        nodes_box[n, 6 * s:6 * s + 3] = lo
+        nodes_box[n, 6 * s + 3:6 * s + 6] = hi
+
+    applied = 0
+    N = nodes_box.shape[0]
+    for _ in range(passes):
+        changed = 0
+        # bottom-up order so child boxes are final before the parent looks
+        for n in range(N - 1, -1, -1):
+            for s in range(2):       # the internal child whose kids rotate
+                c = int(nodes_child[n, s])
+                if c < 0:
+                    continue
+                o = 1 - s            # the sibling to rotate down
+                sib_lo, sib_hi = slot_box(n, o)
+                g_lo0, g_hi0 = slot_box(c, 0)
+                g_lo1, g_hi1 = slot_box(c, 1)
+                cur = area(*slot_box(n, s))
+                best_gain, best_g = 0.0, -1
+                for g in range(2):
+                    keep_lo = (g_lo1, g_lo0)[g]
+                    keep_hi = (g_hi1, g_hi0)[g]
+                    nlo = np.minimum(sib_lo, keep_lo)
+                    nhi = np.maximum(sib_hi, keep_hi)
+                    gain = cur - area(nlo, nhi)
+                    if gain > best_gain + 1e-7:
+                        best_gain, best_g = gain, g
+                if best_g < 0:
+                    continue
+                g = best_g
+                moved_code = int(nodes_child[c, g])
+                moved_lo, moved_hi = slot_box(c, g)
+                sib_code = int(nodes_child[n, o])
+                # sibling moves down into c's slot g
+                nodes_child[c, g] = sib_code
+                set_slot(c, g, sib_lo, sib_hi)
+                # grandchild moves up into n's slot o
+                nodes_child[n, o] = moved_code
+                set_slot(n, o, moved_lo, moved_hi)
+                # refresh n's box of c
+                klo, khi = slot_box(c, 1 - g)
+                set_slot(n, s, np.minimum(sib_lo, klo),
+                         np.maximum(sib_hi, khi))
+                changed += 1
+        applied += changed
+        if changed == 0:
+            break
+    return applied

@@ -379,13 +379,14 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         else:
             pixel_id = pixel_id0
 
-        # ONE wavefront sort per bounce: permute the whole per-lane carry
-        # into octant+Morton order up front (dead lanes to the back), run
-        # the closest-hit AND the NEE occlusion pass in that order with
-        # their internal sorts disabled, and un-permute at the bounce end.
-        # Shadow rays inherit the bounce sort's origin coherence (they
-        # start at the same hit points), so the second argsort+gathers per
-        # bounce are pure overhead (docs/PERF_LOG.md).
+        # Bounce-body wavefront sort: permute the whole per-lane carry
+        # into octant+Morton order up front (dead lanes to the back) so the
+        # closest-hit pass needs no internal sort, and un-permute at the
+        # bounce end. The NEE occlusion pass keeps its OWN sort: its rays
+        # share origins with the bounce sort but point at lights, and
+        # mixed-direction tiles cost far more traversal than one argsort
+        # (measured: the all-unsorted variant regressed the bench 1.6x —
+        # docs/PERF_LOG.md).
         body_sort = cfg.sort_rays and not collect_debug
         if body_sort:
             perm = morton_order(sg(o), sg(d), accel_sg.dense.world_lo,
@@ -429,7 +430,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
 
         vertex_rad = throughput * material.emissive
         vertex_rad = vertex_rad + throughput * direct_lighting(
-            scene, cfg_b, point, shad_n, v, material, pixel_id, key, sample,
+            scene, cfg, point, shad_n, v, material, pixel_id, key, sample,
             depth)
 
         last = depth == cfg.bounces - 1

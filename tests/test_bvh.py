@@ -101,3 +101,43 @@ def test_clustered_geometry():
     hit = intersect_closest(bvh, o, d)
     ref = oracle(tri, o, d)
     np.testing.assert_allclose(np.asarray(hit.t), np.asarray(ref.t), rtol=1e-4, atol=1e-5)
+
+
+def test_optimize_bvh_rotations():
+    """Tree-rotation optimizer (tinybvh Optimize analogue): SAH does not
+    increase and traversal results are unchanged."""
+    import jax.numpy as jnp
+
+    from physically_based_ray_tracer_tpu.bvh.builder import (build_bvh,
+                                                             optimize_bvh)
+    from physically_based_ray_tracer_tpu.bvh.types import BVHArrays, sah_cost
+    from physically_based_ray_tracer_tpu.ops.traverse import intersect_closest
+
+    rng = np.random.default_rng(7)
+    cl = []
+    for _ in range(25):
+        c = rng.uniform(-4, 4, 3)
+        m = int(rng.integers(5, 80))
+        p = c + rng.normal(0, 0.5, (m, 3))
+        cl.append(np.stack([p, p + rng.normal(0, 0.1, (m, 3)),
+                            p + rng.normal(0, 0.1, (m, 3))], 1))
+    tri = np.concatenate(cl).astype(np.float32)
+    bvh = build_bvh(tri, leaf_size=4, use_native=False)
+    nb = np.array(bvh.nodes_box)
+    nc = np.array(bvh.nodes_child)
+    c0 = sah_cost(nb, nc)
+    n_rot = optimize_bvh(nb, nc, passes=6)
+    c1 = sah_cost(nb, nc)
+    assert n_rot > 0
+    assert c1 <= c0 + 1e-5
+
+    bvh2 = BVHArrays.from_numpy(nb, nc, np.asarray(bvh.tris),
+                                np.asarray(bvh.prim_index)).to_device()
+    o = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    h0 = intersect_closest(bvh.to_device(), jnp.asarray(o), jnp.asarray(d),
+                           stack_depth=64, leaf_size=4)
+    h1 = intersect_closest(bvh2, jnp.asarray(o), jnp.asarray(d),
+                           stack_depth=64, leaf_size=4)
+    np.testing.assert_array_equal(np.asarray(h0.prim), np.asarray(h1.prim))
