@@ -379,30 +379,14 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         else:
             pixel_id = pixel_id0
 
-        # Bounce-body wavefront sort: permute the whole per-lane carry
-        # into octant+Morton order up front (dead lanes to the back) so the
-        # closest-hit pass needs no internal sort, and un-permute at the
-        # bounce end. The NEE occlusion pass keeps its OWN sort: its rays
-        # share origins with the bounce sort but point at lights, and
-        # mixed-direction tiles cost far more traversal than one argsort
-        # (measured: the all-unsorted variant regressed the bench 1.6x —
-        # docs/PERF_LOG.md).
-        body_sort = cfg.sort_rays and not collect_debug
-        if body_sort:
-            perm = morton_order(sg(o), sg(d), accel_sg.dense.world_lo,
-                                accel_sg.dense.world_hi, dead=~alive)
-            tk = lambda x: jnp.take(x, perm, axis=0)
-            o, d = tk(o), tk(d)
-            radiance, throughput = tk(radiance), tk(throughput)
-            alive, primary_t = tk(alive), tk(primary_t)
-            pixel_id = tk(pixel_id)
-            cfg_b = cfg.replace(sort_rays=False)
-        else:
-            cfg_b = cfg
-
+        # NOTE (r3, measured): a bounce-body carry sort that lets the
+        # closest pass skip its internal sort LOSES ~12% end-to-end — the
+        # extra carry gathers/ungathers outweigh one argsort — and sharing
+        # the bounce order with the occlusion pass loses ~1.6x (mixed
+        # shadow directions per tile). Per-pass sorts stay (docs/PERF_LOG.md).
         alive_in = alive
         t_init = jnp.where(alive, BVH_FAR, 0.0)
-        hit = _closest(accel_sg, cfg_b, sg(o), sg(d), sg(t_init), sort=True)
+        hit = _closest(accel_sg, cfg, sg(o), sg(d), sg(t_init), sort=True)
         # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
         found = hit.prim >= 0
@@ -478,12 +462,6 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
                       point + bounce_dir * EPSILON)
         d = jnp.where(is_dielectric[:, None], diel_dir, bounce_dir)
         alive = alive & jnp.where(is_dielectric, True, valid)
-        if body_sort:
-            inv = jnp.argsort(perm)
-            utk = lambda x: jnp.take(x, inv, axis=0)
-            o, d = utk(o), utk(d)
-            radiance, throughput = utk(radiance), utk(throughput)
-            alive, primary_t = utk(alive), utk(primary_t)
         if resharding:
             out = ring_restore(
                 dict(o=o, d=d, radiance=radiance, throughput=throughput,
