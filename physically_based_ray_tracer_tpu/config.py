@@ -117,10 +117,9 @@ class RenderConfig:
     #   (docs/PARITY.md quirk list).
     depth_keyed_accum: bool = True     # depth-keyed accumulation reset
     #   heuristic (Core/Renderer.cpp:82-99); False = plain running mean
-    chunk_pixels: int = 131072         # wavefront chunk: bounds live HBM per frame
-    #   (doubled in r3: the NP*B point-occlusion pass is gone with
-    #   one_shadow_ray, so per-chunk live state halved; fewer chunks =
-    #   fewer per-chunk sort/dispatch overheads)
+    chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame.
+    #   r3 measured: doubling to 131072 REGRESSED the flagship frame 1.4x
+    #   (8.4 -> 5.9 Mrays/s, docs/PERF_LOG.md) — keep chunks at 64k pixels
     traversal: str = "pallas"          # "pallas" (production megakernel,
     #   ops/pallas_trace.py; interpret-mode on CPU) | "wave" | "packet" |
     #   "lane" (XLA engines, ops/traverse*). ONE production engine everywhere
