@@ -105,6 +105,10 @@ class RenderConfig:
     brdf: BRDFConfig = dataclasses.field(default_factory=BRDFConfig)
     # Deviation switches (all default to reference-faithful behaviour):
     exact_point_falloff: bool = False  # reference uses color/dist (not 1/d^2) for point lights
+    exact_shadow_tmax: bool = False    # point-shadow ray length: dist (physical)
+    #   instead of the reference's dist^2 quirk (Core/Renderer.cpp:257) —
+    #   with d>1 the quirk makes occluders BEYOND the light block it and
+    #   traverses far past it; the physical bound prunes that traversal
     one_shadow_ray: bool = False       # point NEE: 1 uniformly-picked light ×NP
     #   (unbiased single-sample estimator) instead of the reference's NP
     #   shadow rays (Core/Renderer.cpp:220-261) — 1 occlusion lane per vertex.

@@ -214,8 +214,13 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         w3 = which[:, None, None]
         l_sel = jnp.take_along_axis(ldir, w3, axis=1)[:, 0, :]
         c_sel = jnp.take_along_axis(contrib, w3, axis=1)[:, 0, :] * np_
-        t_sel = jnp.take_along_axis(dist_sq, which[:, None], axis=1)[:, 0]
-        # reference quirk: tmax = dist^2 - EPSILON (Core/Renderer.cpp:257)
+        # reference quirk: tmax = dist^2 (squared!, Core/Renderer.cpp:257)
+        # — an occluder BEYOND the light still blocks it, and shadow rays
+        # traverse far past the light. exact_shadow_tmax bounds the ray at
+        # the light (physically consistent, like the rest of the
+        # one_shadow_ray estimator) and prunes that excess traversal.
+        src = dist if cfg.exact_shadow_tmax else dist_sq
+        t_sel = jnp.take_along_axis(src, which[:, None], axis=1)[:, 0]
         point_one = (l_sel, t_sel - EPSILON, c_sel / p_point)
     elif lights.n_point > 0 and p_point > 0:
         np_ = lights.n_point
