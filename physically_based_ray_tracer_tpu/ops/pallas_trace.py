@@ -156,10 +156,14 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
             cp.wait()
             blk = gscratch[:]
         else:
-            blk = groups_ref[pl.ds(base, 12), :]        # (12, 128)
-        comps0 = [blk[i:i + 1, :] for i in range(10)]
+            blk = groups_ref[pl.ds(base, GROUP_ROWS), :]   # (16, 128)
+        # the sweep carries the whole block and rotates it with ONE native
+        # (16,128) roll per iteration: rolling the 10 components separately
+        # costs ten sub-native (1,128) rotates, which profiling showed was
+        # ~half of each iteration (93 -> ~50 cycles, docs/PERF_LOG.md)
 
-        def mt(comps):
+        def mt(blk):
+            comps = [blk[i:i + 1, :] for i in range(10)]
             (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, opr) = comps
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
@@ -180,8 +184,8 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
             return uu, vv, tt, base_ok, opr
 
         if closest:
-            def lbody(k, comps):
-                uu, vv, tt, base_ok, opr = mt(comps)
+            def lbody(k, blk):
+                uu, vv, tt, base_ok, opr = mt(blk)
                 t_cur = t_ref[:]
                 ok = base_ok & (tt < t_cur)
                 t_ref[:] = jnp.where(ok, tt, t_cur)
@@ -189,15 +193,15 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
                 v_ref[:] = jnp.where(ok, vv, v_ref[:])
                 prim_ref[:] = jnp.where(ok, opr.astype(jnp.int32), prim_ref[:])
                 iout_ref[:] = jnp.where(ok, inst, iout_ref[:])
-                return [_roll1(c, interpret) for c in comps]
+                return _roll1(blk, interpret)
         else:
-            def lbody(k, comps):
-                _, _, tt, base_ok, _ = mt(comps)
+            def lbody(k, blk):
+                _, _, tt, base_ok, _ = mt(blk)
                 ok = base_ok & (tt < tmax)
                 t_ref[:] = jnp.where(ok, jnp.float32(1.0), t_ref[:])
-                return [_roll1(c, interpret) for c in comps]
+                return _roll1(blk, interpret)
 
-        jax.lax.fori_loop(0, count, lbody, comps0)
+        jax.lax.fori_loop(0, count, lbody, blk)
 
     def body(carry):
         i, cur, sp, inst = carry
