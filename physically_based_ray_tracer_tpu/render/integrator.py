@@ -411,7 +411,13 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
                 miss[:, None], throughput * sample_skybox(scene.sky, d), 0.0)
         alive = alive & found
 
-        point = o + d * hit_t[:, None]
+        # dead/missed lanes carry hit_t = BVH_FAR: o + 1e30*d overflows to
+        # inf and the NEE math's LOCAL Jacobians (e.g. d|lvec|/dlvec =
+        # lvec/inf) turn NaN — which the masked `where`s do NOT stop in the
+        # backward pass (0 cotangent x NaN Jacobian = NaN). A finite dummy
+        # point keeps every masked lane's math finite; its value is never
+        # used (all contributions gate on `alive`).
+        point = o + d * jnp.where(found, hit_t, 1.0)[:, None]
         v = -d
         geom_n = geometry_normal(scene, prim)
         shad_n = shading_normal(scene, prim, hit_u, hit_v, cfg.normal_mapped)

@@ -190,3 +190,90 @@ def test_two_process_frame_render(tmp_path):
     _, avg = jax.jit(functools.partial(frame_fn, cfg=TINY))(
         scene, cam, film, jax.random.key(0), 0, ids)
     np.testing.assert_allclose(stitched, np.asarray(avg), atol=1e-6)
+
+
+_TRAIN_WORKER = r"""
+import importlib.util
+import os
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+repo = os.environ["PBRT_REPO"]
+spec = importlib.util.spec_from_file_location(
+    "mesh_solo", os.path.join(repo, "physically_based_ray_tracer_tpu",
+                              "parallel", "mesh.py"))
+mesh_solo = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mesh_solo)
+mesh_solo.distribute_init(coordinator=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+sys.path.insert(0, repo)
+sys.path.insert(0, os.path.join(repo, "tests"))
+jax.config.update("jax_compilation_cache_dir", "/tmp/pbrt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from scenes import sphere_scene, TINY
+from physically_based_ray_tracer_tpu.diff.inverse import make_sharded_train_step
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+scene, cam = sphere_scene()
+cfg = TINY
+mesh = mesh_solo.make_mesh(2)
+n_pix = cfg.n_pixels
+half = n_pix // 2
+sh = NamedSharding(mesh, P("tiles"))
+ids = jax.make_array_from_process_local_data(
+    sh, np.arange(n_pix, dtype=np.int32)[pid * half:(pid + 1) * half], (n_pix,))
+target = jax.make_array_from_process_local_data(
+    sh, np.zeros((half, 3), np.float32), (n_pix, 3))
+params = {"base_color": scene.mat_base, "roughness": scene.mat_rough,
+          "point_color": scene.lights.point_color}
+optimizer = optax.adam(1e-2)
+opt_state = optimizer.init(params)
+train = make_sharded_train_step(mesh, scene, cam, cfg, optimizer)
+loss = None
+for step in range(2):
+    params, opt_state, loss = train(params, opt_state, jax.random.key(0),
+                                    step, ids, target)
+l = float(np.asarray(loss.addressable_data(0))) if hasattr(loss, "addressable_data") \
+    else float(np.asarray(loss))
+print("LOSS", pid, l, flush=True)
+assert np.isfinite(l), l
+print("OK", pid, l)
+"""
+
+
+def test_two_process_inverse_training():
+    """BASELINE config 5: the inverse-rendering train step (forward render +
+    backward + pmean gradient all-reduce) over a mesh spanning two real OS
+    processes — the multi-host pod path in miniature."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["PBRT_REPO"] = repo
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _TRAIN_WORKER, coord, str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    losses = []
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK" in out, out
+        losses.append(float(out.strip().split()[-1]))
+    # pmean makes the loss identical on both processes
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
