@@ -156,7 +156,7 @@ def _light_type_weights(lights):
 
 
 def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
-                    pixel_id, key, sample, depth):
+                    pixel_id, key, sample, depth, alive=None):
     """Stochastic next-event estimation (Core/Renderer.cpp:198-326).
 
     Returns the radiance contribution at this vertex (throughput NOT applied).
@@ -166,6 +166,10 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
     lights = scene.lights
     B = point.shape[0]
     zeros = jnp.zeros((B, 3), point.dtype)
+    # dead lanes shade at a finite dummy point (see trace_paths): their
+    # occlusion rays must still be tmax=0 no-ops or they traverse like live
+    # rays (frame-measured 1.3x regression when they did)
+    live = jnp.ones((B,), bool) if alive is None else alive
 
     weights = _light_type_weights(lights)
     if weights is None or not cfg.lighted:
@@ -246,8 +250,8 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         sd = sg(jnp.swapaxes(ldir, 0, 1).reshape(np_ * B, 3))
         # reference quirk: tmax = dist^2 - EPSILON (squared; Core/Renderer.cpp:257)
         tmax = sg(jnp.swapaxes(
-            jnp.where(pick_point[:, None], dist_sq - EPSILON, 0.0), 0, 1)
-            .reshape(np_ * B))
+            jnp.where((pick_point & live)[:, None], dist_sq - EPSILON, 0.0),
+            0, 1).reshape(np_ * B))
         occ = jnp.swapaxes(_anyhit(accel_sg, cfg, so, sd, tmax, sort=True)
                            .reshape(np_, B), 0, 1)
         visible = (~occ) & pick_point[:, None]
@@ -317,6 +321,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
         sg = jax.lax.stop_gradient
         so = point + l_dir * EPSILON
+        t_other = jnp.where(live, t_other, 0.0)
         occ = _anyhit(jax.tree.map(sg, Accel(scene.bvh, scene.dense)), cfg,
                       sg(so), sg(l_dir), sg(t_other), sort=True)
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_dir, v, material, cfg.brdf)
@@ -426,7 +431,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         vertex_rad = throughput * material.emissive
         vertex_rad = vertex_rad + throughput * direct_lighting(
             scene, cfg, point, shad_n, v, material, pixel_id, key, sample,
-            depth)
+            depth, alive=alive)
 
         last = depth == cfg.bounces - 1
         # reference: the dielectric branch discards this vertex's own
