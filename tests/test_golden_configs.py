@@ -113,6 +113,41 @@ def test_pinball_ibl_glossy_golden():
     _check(img, PINBALL_GOLDEN)
 
 
+GAME_GOLDEN = os.path.join(GOLDEN_DIR, "scene1_game_480x270.png")
+
+
+def _render_scene1_game():
+    """BASELINE config 3 at the reference's GAME resolution (480x270,
+    template/common.h:11-15): scene1 meshes + all four light types."""
+    from physically_based_ray_tracer_tpu.config import RenderConfig
+    from physically_based_ray_tracer_tpu.render.renderer import Renderer
+    from physically_based_ray_tracer_tpu.scene.lights import LightSet
+    from physically_based_ray_tracer_tpu.scene.loader import load_reference_scene
+
+    scene, cam, depth = load_reference_scene("/root/reference/assets")
+    L = scene.lights
+    lights = LightSet.make(
+        point_pos=[[2, 2, 2], [-2, 2, -1], [0, 3, 0], [2, 1, -2]],
+        point_color=[[6, 6, 6], [3, 4, 5], [2, 2, 2], [3, 1, 1]],
+        dir_pos=np.array(L.dir_pos), dir_color=np.array(L.dir_color),
+        spot_pos=np.array(L.spot_pos), spot_color=np.array(L.spot_color),
+        spot_rot=np.array(L.spot_rot),
+        area_pos=[[0.0, 2.5, 0.0]], area_color=[[6.0, 5.0, 3.0]],
+        area_u=[[0.5, 0.0, 0.0]], area_v=[[0.0, 0.0, 0.5]])
+    scene = scene._replace(lights=lights)
+    cfg = RenderConfig(width=480, height=270, bounces=2, antialias=False,
+                       skybox=False, max_stack_depth=max(depth + 2, 40))
+    return Renderer(scene, cam, cfg).tick()
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/assets"),
+                    reason="reference assets absent")
+def test_scene1_game_resolution_golden():
+    img = _render_scene1_game()
+    assert img.mean() > 0.01
+    _check(img, GAME_GOLDEN)
+
+
 if __name__ == "__main__" and "regen" in sys.argv[1:]:
     import jax
 
@@ -126,3 +161,6 @@ if __name__ == "__main__" and "regen" in sys.argv[1:]:
     if os.path.isdir(PINBALL_DIR):
         write_png(PINBALL_GOLDEN, _render_pinball())
         print("wrote", PINBALL_GOLDEN)
+    if os.path.isdir("/root/reference/assets"):
+        write_png(GAME_GOLDEN, _render_scene1_game())
+        print("wrote", GAME_GOLDEN)
