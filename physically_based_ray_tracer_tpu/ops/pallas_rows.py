@@ -68,9 +68,9 @@ def _kernel(nodes_ref, groups_ref, inst_ref, perm_ref,
     v_ref[:] = jnp.zeros_like(tmax)
     prim_ref[:] = jnp.full(tmax.shape, -1, jnp.int32)
     iout_ref[:] = jnp.full(tmax.shape, -1, jnp.int32)
-    # the leaf permutation matmul multiplies EVERY staging row by 0 or 1:
-    # uninitialized rows would poison the products with 0*NaN
-    stag_ref[:] = jnp.zeros((R * GROUP_ROWS, 128), jnp.float32)
+    # NOTE: leaf_phase overwrites ALL staging rows before each matmul
+    # (inactive rows clamp to group 0), so no zero-init is needed — an
+    # uninitialized row would otherwise 0*NaN-poison the permutation product
 
     wx, wy, wz = ox_ref[:], oy_ref[:], oz_ref[:]
     wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -264,8 +264,11 @@ def _kernel(nodes_ref, groups_ref, inst_ref, perm_ref,
                 g = jnp.maximum(pend8[r] // 8, 0)
                 stag_ref[pl.ds(r * GROUP_ROWS, GROUP_ROWS), :] = \
                     groups_ref[pl.ds(g * GROUP_ROWS, GROUP_ROWS), :]
-        grow = jnp.dot(perm_ref[:], stag_ref[:],
-                       preferred_element_type=jnp.float32)
+        # HIGHEST precision: the default TPU matmul does bf16 passes,
+        # which would round the float-encoded prim-id row (and coords)
+        grow = jax.lax.dot(perm_ref[:], stag_ref[:],
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
 
         # per-row active mask + max sweep length
         maskv = jnp.concatenate(

@@ -50,7 +50,7 @@ from physically_based_ray_tracer_tpu.ops.traverse import (intersect_any,
                                                           intersect_closest,
                                                           refine_hit)
 from physically_based_ray_tracer_tpu.ops.traverse_packet import (
-    intersect_any_packet, intersect_closest_packet, morton_order)
+    intersect_any_packet, intersect_closest_packet)
 from physically_based_ray_tracer_tpu.scene.camera import Camera, primary_rays, sample_skybox
 from physically_based_ray_tracer_tpu.scene.lights import sample_area_rect
 from physically_based_ray_tracer_tpu.scene.material import (geometry_normal,
@@ -249,8 +249,9 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
                 .reshape(np_ * B, 3))
         sd = sg(jnp.swapaxes(ldir, 0, 1).reshape(np_ * B, 3))
         # reference quirk: tmax = dist^2 - EPSILON (squared; Core/Renderer.cpp:257)
+        shadow_len = dist if cfg.exact_shadow_tmax else dist_sq
         tmax = sg(jnp.swapaxes(
-            jnp.where((pick_point & live)[:, None], dist_sq - EPSILON, 0.0),
+            jnp.where((pick_point & live)[:, None], shadow_len - EPSILON, 0.0),
             0, 1).reshape(np_ * B))
         occ = jnp.swapaxes(_anyhit(accel_sg, cfg, so, sd, tmax, sort=True)
                            .reshape(np_, B), 0, 1)

@@ -274,6 +274,8 @@ def test_two_process_inverse_training():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "OK" in out, out
-        losses.append(float(out.strip().split()[-1]))
+        loss_lines = [l for l in out.splitlines() if l.startswith("LOSS ")]
+        assert loss_lines, out
+        losses.append(float(loss_lines[-1].split()[2]))
     # pmean makes the loss identical on both processes
     assert abs(losses[0] - losses[1]) < 1e-6, losses
