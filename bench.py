@@ -48,9 +48,21 @@ def build_bench_scene():
     return scene, cam, depth
 
 
-# Ray accounting: the ONE shared function (utils/timer.ray_count) — bench,
-# FrameStats and parallel/scaling all report the same expected-live-rays
-# metric (see its docstring for what is and is not counted).
+# Ray accounting: expected LIVE rays actually traced, from per-bounce
+# live-lane fractions measured once per scene with the integrator's
+# collect_live tap (experiments/live_rays.py -> docs/LIVE_RAYS_r04.json).
+# Falls back to the lane-slot upper bound (utils/timer.ray_count) with a
+# note if the calibration artifact is missing.
+
+
+def load_live_fractions():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "LIVE_RAYS_r04.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return d["extension_live_fraction"], d["shadow_live_fraction"]
 
 
 def main():
@@ -106,13 +118,24 @@ def main():
     times.sort()
     t_med = times[len(times) // 2]
 
-    rays = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
+    frac = load_live_fractions()
+    if frac is not None:
+        from physically_based_ray_tracer_tpu.utils.timer import live_ray_count
+        rays = live_ray_count(cfg, n_pix, frac[0], frac[1])
+        counted = ("expected LIVE rays actually traced (primary + AA + live "
+                   "bounce extensions + live NEE shadow rays; dead lanes "
+                   "excluded), per-bounce live fractions measured by "
+                   "experiments/live_rays.py")
+    else:
+        rays = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
+        counted = "lane-slots launched (upper bound; calibration missing)"
     mrays = rays / t_med / 1e6
     print(json.dumps({
         "metric": "Mrays/s/chip (1280x720, 4-bounce path trace, NEE, AA)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "counted": counted,
     }))
 
 

@@ -1,0 +1,95 @@
+"""Calibrate the honest rays/s metric: measured live-lane fractions.
+
+VERDICT r3 weak #3: ``ray_count`` counted ``paths x bounces`` extension
+rays even though lanes die at misses, while claiming to be a lower bound.
+This experiment measures, once per bench scene, the per-bounce fraction of
+lanes whose extension ray is actually live and the fraction tracing a live
+NEE shadow ray (the ``collect_live`` tap in ``trace_paths``), so bench.py
+can report *expected live rays actually traced*.
+
+The fractions are a property of (scene, camera, sampler), not of the
+traversal backend or resolution; we estimate them on CPU at a reduced
+resolution of the same camera (every lane is an iid-ish sample of the
+image plane — with >2.5e4 lanes the per-bounce fraction standard error is
+<0.3%). Results: docs/LIVE_RAYS_r04.json, consumed as constants by
+bench.py.
+
+Run:  JAX_PLATFORMS=cpu python experiments/live_rays.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+W, H = 128, 72     # same aspect/camera as the 1280x720 flagship bench
+
+
+def measure(scene, cam, cfg):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physically_based_ray_tracer_tpu.utils import rng
+    from physically_based_ray_tracer_tpu.utils.rng import Purpose
+    from physically_based_ray_tracer_tpu.render.integrator import trace_paths
+    from physically_based_ray_tracer_tpu.scene.camera import primary_rays
+
+    ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    xs = (ids % cfg.width).astype(jnp.float32)
+    ys = (ids // cfg.width).astype(jnp.float32)
+    key = jax.random.key(0)
+    o1, d1 = primary_rays(cam, xs, ys, cfg.width, cfg.height)
+    if cfg.antialias:
+        j = rng.uniform2(key, ids, 0, 0, Purpose.AA_JITTER)
+        o2, d2 = primary_rays(cam, xs + j[:, 0], ys + j[:, 1],
+                              cfg.width, cfg.height)
+        o = jnp.concatenate([o1, o2])
+        d = jnp.concatenate([d1, d2])
+        pid = jnp.concatenate([ids, ids + cfg.n_pixels])
+    else:
+        o, d, pid = o1, d1, ids
+    _, _, live = trace_paths(scene, cfg, o, d, pid, key, 0, collect_live=True)
+    ext, shad = np.asarray(live[0]), np.asarray(live[1])
+    lanes = o.shape[0]
+    return (ext / lanes).tolist(), (shad / lanes).tolist(), lanes
+
+
+def main():
+    import bench
+    from physically_based_ray_tracer_tpu.config import RenderConfig
+
+    scene, cam, depth = bench.build_bench_scene()
+    # traversal MUST be "pallas": the bench scene is built pallas-only
+    # (legacy_bvh=False — no world-baked BVH for the fallbacks to read).
+    # On CPU the megakernel runs in interpret mode; hits are identical.
+    cfg = RenderConfig(width=W, height=H, bounces=4, antialias=True,
+                       skybox=False, max_stack_depth=32, traversal="pallas",
+                       one_shadow_ray=True)
+    ext_f, shad_f, lanes = measure(scene, cam, cfg)
+    out = {
+        "what": "per-bounce live-lane fractions for the flagship bench scene "
+                "(fraction of AA-doubled path lanes whose extension / NEE "
+                "shadow ray is actually traced, vs lane-slots launched)",
+        "scene": "bench.build_bench_scene (9 instanced spheres + floor)",
+        "camera": "pos (0,2.5,7) target (0,0,0), 16:9",
+        "cfg": {"bounces": 4, "antialias": True, "skybox": False,
+                "one_shadow_ray": True},
+        "measured_at": f"{W}x{H} on CPU, {lanes} lanes",
+        "extension_live_fraction": [round(f, 4) for f in ext_f],
+        "shadow_live_fraction": [round(f, 4) for f in shad_f],
+        "honest_ray_factor": round(
+            (sum(ext_f) + sum(shad_f)) / (2.0 * len(ext_f)), 4),
+        "note": "honest rays/frame = lanes*(sum(ext)+sum(shadow)) vs the "
+                "old count lanes*2*bounces; ratio = honest_ray_factor",
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "LIVE_RAYS_r04.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,7 @@ def main():
         def local(o, d, ids):
             rad, _, live = trace_paths(scene, cfg_local, o, d, ids, key, 0,
                                        collect_live=True)
-            return rad, live[:, None]
+            return rad, live[0][:, None]   # live = (extension, shadow) lanes
 
         f = jax.jit(shard_map(
             local, mesh=mesh, in_specs=(P("tiles"), P("tiles"), P("tiles")),

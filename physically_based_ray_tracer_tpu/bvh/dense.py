@@ -357,55 +357,17 @@ def dense_sweep_cost(nodes: np.ndarray, segments: list[np.ndarray],
                      bmin: np.ndarray, bmax: np.ndarray) -> float:
     """Expected roll-units per root-entering tile under the SAH area
     measure — the diagnostic tinybvh's SAHCost (:1532) plays, for the dense
-    cost model."""
-    seg_box = {}
-    for g, seg in enumerate(segments):
-        seg_box[g] = (bmin[seg].min(axis=0), bmax[seg].max(axis=0))
-
-    def child_cost(code, area_parent):
-        code = int(np.rint(code))
-        if code == ABSENT:
-            return 0.0
-        if code >= 0:
-            return node_cost(code, area_parent)
-        v = -(code + 1)
-        g = (v // 2) // 8
-        lo, hi = seg_box[g]
-        p = min(_sa(lo, hi) / max(area_parent, 1e-30), 1.0)
-        return p * (C_LEAF + _pow2(len(segments[g])))
-
-    def node_cost(i, area_parent):
-        lo0, hi0 = nodes[i, 0:3], nodes[i, 3:6]
-        lo1, hi1 = nodes[i, 6:9], nodes[i, 9:12]
-        a = _sa(np.minimum(lo0, lo1), np.maximum(hi0, hi1))
-        p = min(a / max(area_parent, 1e-30), 1.0)
-        c0 = int(np.rint(nodes[i, 12]))
-        c1 = int(np.rint(nodes[i, 13]))
-        out = C_NODE
-        for code, lo, hi in ((c0, lo0, hi0), (c1, lo1, hi1)):
-            code = int(code)
-            if code == ABSENT:
-                continue
-            if code >= 0:
-                out += node_cost(code, _sa(lo, hi) / max(p, 1e-30) * p)
-            else:
-                v = -(code + 1)
-                g = (v // 2) // 8
-                pc = min(_sa(lo, hi) / max(a, 1e-30), 1.0)
-                out += pc * (C_LEAF + _pow2(len(segments[g])))
-        return out * p if False else out  # flat per-visit accounting
-
-    # approximate: treat each node's children probabilities locally
-    import sys
-    sys.setrecursionlimit(100000)
+    cost model. ``bmin``/``bmax`` are accepted for signature stability but
+    the walk derives every box it needs from the node table itself."""
+    del bmin, bmax
     root_lo = np.minimum(nodes[0, 0:3], nodes[0, 6:9])
     root_hi = np.maximum(nodes[0, 3:6], nodes[0, 9:12])
-    return _cost_rec(nodes, segments, seg_box, 0, _sa(root_lo, root_hi))
+    return _cost_walk(nodes, segments, _sa(root_lo, root_hi))
 
 
-def _cost_rec(nodes, segments, seg_box, i, area_root):
+def _cost_walk(nodes, segments, area_root):
     """Σ over nodes/leaves of P(visit) * step cost (classic SAH form with
-    the dense leaf cost)."""
+    the dense leaf cost). Iterative — no recursion-limit games."""
     total = 0.0
     stack = [(0, None)]
     while stack:

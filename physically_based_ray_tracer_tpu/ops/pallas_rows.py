@@ -126,7 +126,9 @@ def _kernel(nodes_ref, groups_ref, inst_ref, perm_ref,
             def _():
                 sent = jnp.int32(-((RESTORE_ID * 2 + 1) + 1))
                 stack_ref[r, jnp.minimum(sp8[r], stack_cap)] = sent
-                sp8[r] = sp8[r] + 1
+                # clamp sp too: an unclamped sp after a (pathological)
+                # overflow makes pop_or_done read out of bounds (ADVICE r3)
+                sp8[r] = jnp.minimum(sp8[r] + 1, stack_cap + 1)
                 b = iid * INST_F
                 a = [inst_ref[b + k] for k in range(12)]
                 rwx = wx[r:r + 1, :]
@@ -228,7 +230,7 @@ def _kernel(nodes_ref, groups_ref, inst_ref, perm_ref,
                 @pl.when(near_ok & far_ok)
                 def _():
                     stack_ref[r, jnp.minimum(sp8[r], stack_cap)] = far
-                    sp8[r] = sp8[r] + 1
+                    sp8[r] = jnp.minimum(sp8[r] + 1, stack_cap + 1)
 
                 nxt = jnp.where(near_ok, near,
                                 jnp.where(far_ok, far, jnp.int32(DONE)))

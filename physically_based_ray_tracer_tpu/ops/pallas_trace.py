@@ -251,7 +251,10 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
         def _():
             stack_ref[jnp.minimum(sp, sp_cap)] = far
 
-        sp2 = jnp.where(push, sp + 1, sp)
+        # sp itself is clamped too (not just the write index): after a
+        # pathological overflow an unclamped sp would make the pop read
+        # stack_ref[sp-1] out of bounds (ADVICE r3)
+        sp2 = jnp.where(push, jnp.minimum(sp + 1, sp_cap + 1), sp)
         done_c = jnp.int32(DONE)
         nxt = jnp.where(near_ok, near, jnp.where(far_ok, far, done_c))
         nxt = jnp.where(is_leaf, done_c, nxt)
@@ -271,7 +274,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
             def _():
                 stack_ref[jnp.minimum(sp2, sp_cap)] = sent
 
-            sp2b = jnp.where(enter, sp2 + 1, sp2)
+            sp2b = jnp.where(enter, jnp.minimum(sp2 + 1, sp_cap + 1), sp2)
             # BLAS root read is unconditional — clamp iid so the non-enter
             # steps (iid = 0 / RESTORE_ID) never index out of bounds
             safe_b = jnp.where(enter, iid, 0) * INST_F

@@ -489,8 +489,13 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             primary_t, alive = out["primary_t"], out["alive_f"]
         dbg = None
         if collect_live:
-            # post-donation live-lane count per bounce (resharding artifact)
-            dbg = jnp.sum(alive_in.astype(jnp.int32))
+            # (extension-ray lanes, shadow-ray lanes) per bounce: alive_in =
+            # lanes whose closest-hit trace this bounce is live; the NEE
+            # occlusion ray is traced for lanes still alive after the hit
+            # test (dead lanes' occlusion rays are tmax=0 no-ops). This tap
+            # calibrates the honest rays/s metric (utils/timer.ray_count).
+            dbg = (jnp.sum(alive_in.astype(jnp.int32)),
+                   jnp.sum((alive_in & found).astype(jnp.int32)))
         if collect_debug:
             dbg = {
                 "ray_o": o_prev, "ray_d": d_prev,

@@ -52,6 +52,7 @@ class EditSession:
             assets_root, scene_name, return_handle=True, **load_kw)
         assert handle is not None
         self.handle = handle
+        self._include_point_lights = load_kw.get("include_point_lights", True)
         self.cfg = cfg or RenderConfig(
             width=256, height=256, bounces=2,
             max_stack_depth=max(depth + 2, 32), skybox=False)
@@ -63,8 +64,11 @@ class EditSession:
         return os.path.join(self.scene_dir, f"{name}.json")
 
     def _light_path(self, kind: str, index: int) -> str:
+        # filter to .json exactly like the loader does, so the index↔file
+        # mapping cannot be shifted by stray editor backups (ADVICE r3)
         d = os.path.join(self.scene_dir, _LIGHT_DIRS[kind])
-        files = sorted(f for f in os.listdir(d)) if os.path.isdir(d) else []
+        files = (sorted(f for f in os.listdir(d) if f.endswith(".json"))
+                 if os.path.isdir(d) else [])
         if index < len(files):
             return os.path.join(d, files[index])
         os.makedirs(d, exist_ok=True)
@@ -141,6 +145,15 @@ class EditSession:
             p = os.path.join(self.scene_dir, f)
             if f.endswith(".json") and os.path.isfile(p):
                 out[p] = os.path.getmtime(p)
+        # light subdirectories too, so external light-JSON edits are folded
+        # in by watch_once just like object/camera edits (ADVICE r3)
+        for sub in _LIGHT_DIRS.values():
+            d = os.path.join(self.scene_dir, sub)
+            if os.path.isdir(d):
+                for f in sorted(os.listdir(d)):
+                    if f.endswith(".json"):
+                        p = os.path.join(d, f)
+                        out[p] = os.path.getmtime(p)
         cp = self._camera_path()
         if os.path.exists(cp):
             out[cp] = os.path.getmtime(cp)
@@ -156,16 +169,29 @@ class EditSession:
         if not changed:
             return []
         insts = list(self.handle.instances)
-        reload_objects = False
+        reload_objects = reload_lights = False
+        light_dirs = {os.path.join(self.scene_dir, s)
+                      for s in _LIGHT_DIRS.values()}
         for p in changed:
             if p == self._camera_path():
                 self.renderer.camera = load_camera_json(p)
+                continue
+            if os.path.dirname(p) in light_dirs:
+                reload_lights = True
                 continue
             name = os.path.splitext(os.path.basename(p))[0]
             for i, it in enumerate(insts):
                 if it.name == name:
                     insts[i] = load_gameobject_json(p)
                     reload_objects = True
+        if reload_lights:
+            from physically_based_ray_tracer_tpu.scene.serialization import \
+                load_scene_dir
+            _, lights = load_scene_dir(
+                self.scene_dir,
+                include_point_lights=self._include_point_lights)
+            self.renderer.scene = self.renderer.scene._replace(
+                lights=lights.pad_points(4))
         if reload_objects:
             self.renderer.scene = rebuild_scene(self.renderer.scene,
                                                 self.handle, insts)

@@ -66,6 +66,13 @@ def write_hdr(path: str, img: np.ndarray) -> str:
     rgbe = np.zeros((h, w, 4), np.uint8)
     rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
     rgbe[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
+    # Flat-scanline guard: stb-style readers treat a scanline whose first two
+    # bytes are 0x02 0x02 (for widths 8..32767) as adaptive-RLE. Bump the
+    # green mantissa of such a first pixel by one step (≤0.4% channel error)
+    # so external tools never misdecode these flat files (ADVICE r3).
+    if 8 <= w < 32768:
+        bad = (rgbe[:, 0, 0] == 2) & (rgbe[:, 0, 1] == 2)
+        rgbe[bad, 0, 1] = 3
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")

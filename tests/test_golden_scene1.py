@@ -44,10 +44,13 @@ def test_scene1_matches_golden():
     ref = read_image(GOLDEN)[..., :3]
     assert ref.shape == img.shape
     # PNG quantization alone contributes up to (0.5/255)^2 ~ 3.8e-6 MSE;
-    # the threshold leaves room for minor cross-version FP drift but fails
-    # on any real behavior change (wrong light, flipped normal, RNG drift).
+    # gate at ~2.5x quantization noise plus a max-abs bound so that subtle
+    # shading regressions (a wrong constant in one BRDF branch) cannot hide
+    # under a loose threshold (VERDICT r3 weak #6).
     mse = float(np.mean((img - ref) ** 2))
-    assert mse < 2e-4, f"scene1 deviates from golden: MSE={mse:.2e}"
+    assert mse < 1e-5, f"scene1 deviates from golden: MSE={mse:.2e}"
+    mx = float(np.max(np.abs(img - ref)))
+    assert mx < 6.0 / 255.0, f"scene1 max-abs deviation {mx:.4f}"
 
 
 if __name__ == "__main__" and "regen" in sys.argv[1:]:
