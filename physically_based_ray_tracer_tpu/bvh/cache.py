@@ -18,7 +18,8 @@ import numpy as np
 from physically_based_ray_tracer_tpu.bvh.dense import DenseBVH
 from physically_based_ray_tracer_tpu.bvh.types import BVHArrays
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: + bf16 banded leaf table (groups_bf) and group
+#      AABBs (glo); v1 caches silently rebuild
 
 
 def _norm(path: str) -> str:
@@ -75,7 +76,9 @@ def save_dense(path: str, dbvh: DenseBVH, triangles=None, params: str = ""):
         content=_tri_hash(triangles, params) if triangles is not None else "",
         nodes16=np.asarray(dbvh.nodes16), groups=np.asarray(dbvh.groups),
         inst16=np.asarray(dbvh.inst16), prim_base=np.asarray(dbvh.prim_base),
-        world_lo=np.asarray(dbvh.world_lo), world_hi=np.asarray(dbvh.world_hi))
+        world_lo=np.asarray(dbvh.world_lo), world_hi=np.asarray(dbvh.world_hi),
+        groups_bf=np.asarray(dbvh.groups_bf).view(np.uint16),
+        glo=np.asarray(dbvh.glo))
 
 
 def load_dense(path: str, triangles=None, params: str = "") -> DenseBVH | None:
@@ -91,7 +94,10 @@ def load_dense(path: str, triangles=None, params: str = "") -> DenseBVH | None:
             return None
         return DenseBVH(*(jnp.asarray(z[k]) for k in
                           ("nodes16", "groups", "inst16", "prim_base",
-                           "world_lo", "world_hi")))
+                           "world_lo", "world_hi")),
+                        groups_bf=jnp.asarray(
+                            z["groups_bf"].view(jnp.bfloat16)),
+                        glo=jnp.asarray(z["glo"]))
     except (OSError, KeyError, ValueError):
         return None
 

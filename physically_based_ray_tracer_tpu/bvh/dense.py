@@ -90,6 +90,14 @@ class DenseBVH(NamedTuple):
     prim_base: jnp.ndarray  # (max(I,1),) i32 global prim offset per instance
     world_lo: jnp.ndarray   # (3,) f32 root bounds (for Morton ray sorting)
     world_hi: jnp.ndarray   # (3,) f32
+    # bf16 banded leaf storage for the small-tile megakernel
+    # (ops/pallas_bf16.py): group g occupies rows [80g, 80g+80); row
+    # 8*i + b = component i (v0-glo, e1, e2 — LOCAL to the group origin so
+    # bf16's 8-bit mantissa applies to leaf-local coordinates, not scene
+    # coordinates) pre-rolled right by (b*c)//8 lanes (band b of 8).
+    groups_bf: jnp.ndarray | None = None   # (G*80, 128) bf16
+    glo: jnp.ndarray | None = None         # (G*8,) f32 group AABB per group:
+    #                                        [lo.xyz, 0, hi.xyz, 0] (SMEM)
 
     @property
     def n_nodes(self):
@@ -328,6 +336,55 @@ def _pack_groups(tri: np.ndarray, segments: list[np.ndarray]) -> np.ndarray:
 # single-level stub: shorter than one INST_F row, so the traversal kernel
 # statically strips all instance machinery (ops/pallas_trace.py two_level)
 _NO_INST = np.zeros((1,), np.float32)
+
+# bf16 banded-group constants (ops/pallas_bf16.py): 9 geometry components
+# x 8 bands, padded to 80 rows = 5 native (16,128) bf16 tiles so
+# dynamic-offset HBM DMAs stay tile-aligned
+BF_BANDS = 8
+BF_ROWS = 80
+
+
+def _group_period(pid_row: np.ndarray) -> int:
+    """Replication period c of one group's prim-id row (c | 128)."""
+    for c in (1, 2, 4, 8, 16, 32, 64, 128):
+        if np.array_equal(pid_row, np.tile(pid_row[:c], 128 // c)):
+            return c
+    return 128
+
+
+def _pack_groups_bf(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Derive the banded bf16 leaf table + per-group origins from the f32
+    component-major groups array (works for fresh builds AND refits — the
+    period c is recovered from the prim-id row's replication pattern).
+
+    Band b of component i sits at row 8*i + b, pre-rolled right by
+    (b*c)//8 lanes: at sweep iteration k, ray lane l in band b tests
+    original lane (l - k - (b*c)//8) mod 128 — over k = 0..max(c/8,1)-1
+    the 8 bands cover every distinct triangle of the group exactly
+    (duplicates when c < 8, which is harmless).
+    """
+    G = groups.shape[0] // GROUP_ROWS
+    gview = groups.reshape(G, GROUP_ROWS, LEAF_W)
+    out = np.zeros((G, BF_ROWS, LEAF_W), np.float32)
+    glo = np.zeros((G, 8), np.float32)     # [lo3, 0, hi3, 0] per group
+    for g in range(G):
+        pid = np.rint(gview[g, 9]).astype(np.int64)
+        live = pid >= 0
+        c = _group_period(gview[g, 9])
+        comps = gview[g, 0:9].copy()                      # (9, 128)
+        v0 = comps[0:3].T                                 # (128, 3)
+        e1 = comps[3:6].T
+        e2 = comps[6:9].T
+        if live.any():
+            cs = np.concatenate([v0[live], (v0 + e1)[live], (v0 + e2)[live]])
+            glo[g, 0:3] = cs.min(axis=0)
+            glo[g, 4:7] = cs.max(axis=0)
+        comps[0:3] -= glo[g, 0:3][:, None]                # local v0
+        for b in range(BF_BANDS):
+            shift = (b * c) // BF_BANDS
+            out[g, 8 * np.arange(9) + b, :] = np.roll(comps, shift, axis=-1)
+    out_bf = out.reshape(G * BF_ROWS, LEAF_W).astype(jnp.bfloat16)
+    return out_bf, glo.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -608,6 +665,7 @@ def build_dense(triangles: np.ndarray, leaf_target: int = 64,
     nodes, segments, depth, root_lo, root_hi = _build_core_any(
         tri, leaf_target, hq, shape)
     groups = _pack_groups(tri, segments)
+    gbf, glo = _pack_groups_bf(groups)
     dbvh = DenseBVH(
         nodes16=jnp.asarray(nodes.reshape(-1)),
         groups=jnp.asarray(groups),
@@ -615,6 +673,8 @@ def build_dense(triangles: np.ndarray, leaf_target: int = 64,
         prim_base=jnp.zeros((1,), jnp.int32),
         world_lo=jnp.asarray(root_lo),
         world_hi=jnp.asarray(root_hi),
+        groups_bf=jnp.asarray(gbf),
+        glo=jnp.asarray(glo),
     )
     return dbvh, depth
 
@@ -784,6 +844,7 @@ def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
     meta = TLASMeta(tlas_cap=tlas_cap, inst_mesh=inst_mesh,
                     blas_root=node_off.copy(), blas_lo=blas_lo,
                     blas_hi=blas_hi)
+    gbf, glo = _pack_groups_bf(all_groups)
     dbvh = DenseBVH(
         nodes16=jnp.asarray(all_nodes.reshape(-1)),
         groups=jnp.asarray(all_groups),
@@ -791,6 +852,8 @@ def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
         prim_base=jnp.asarray(prim_base),
         world_lo=jnp.asarray(lo.min(axis=0)),
         world_hi=jnp.asarray(hi.max(axis=0)),
+        groups_bf=jnp.asarray(gbf),
+        glo=jnp.asarray(glo),
     )
     # depth: TLAS chain worst case + blas depth + restore sentinel
     depth = tlas_cap.bit_length() + depth_blas + 2

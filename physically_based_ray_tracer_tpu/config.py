@@ -129,6 +129,10 @@ class RenderConfig:
     #   "lane" (XLA engines, ops/traverse*). ONE production engine everywhere
     #   (defaults == bench == goldens == multichip dryrun), like the
     #   reference's single BVH8_CPU path (Core/Model.cpp:15-16).
+    leaf_precision: str = "f32"        # "bf16": 256-ray sub-tiles + 8-band
+    #   bf16 leaf sweeps (ops/pallas_bf16.py; ~2x traversal, exact f32 hit
+    #   records via decode+refine, selection fuzz ~bf16 edge band) | "f32":
+    #   the exact 1024-ray kernel. Applies to traversal="pallas" only.
     sort_rays: bool = True             # octant+Morton sort of bounce/shadow wavefronts
     packet_tile: int = 128             # rays per packet tile (128 = one VPU lane row)
     dense: str = "mt"                  # leaf test: "mt" (fused VPU) | "woop" (MXU matmul)

@@ -74,6 +74,19 @@ def _pallas_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _use_bf16(cfg: RenderConfig, dense) -> bool:
+    """bf16 small-tile kernel eligibility: opted in AND the table carries
+    banded groups AND the per-group origin table fits SMEM (huge scenes
+    fall back to the exact f32 kernel)."""
+    if cfg.leaf_precision != "bf16" or dense is None:
+        return False
+    if getattr(dense, "groups_bf", None) is None or dense.glo is None:
+        return False
+    from physically_based_ray_tracer_tpu.ops.pallas_bf16 import (
+        BF_ROWS, GLO_SMEM_LIMIT)
+    return dense.groups_bf.shape[0] // BF_ROWS <= GLO_SMEM_LIMIT
+
+
 def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
     """Traversal dispatch: "pallas" (fused megakernel, production path),
     "wave" (XLA packet + decoupled dense leaf phase), "packet" (inline leaf
@@ -90,6 +103,12 @@ def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
             else rows_closest_dense
         return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
     if cfg.traversal == "pallas":
+        if _use_bf16(cfg, accel.dense):
+            from physically_based_ray_tracer_tpu.ops.pallas_bf16 import (
+                intersect_closest_bf16, sorted_closest_bf16)
+            fn = sorted_closest_bf16 if (sort and cfg.sort_rays) \
+                else intersect_closest_bf16
+            return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
         from physically_based_ray_tracer_tpu.ops.pallas_trace import (
             intersect_closest_dense, sorted_closest_dense)
         fn = sorted_closest_dense if (sort and cfg.sort_rays) \
@@ -121,6 +140,12 @@ def _anyhit(accel: Accel, cfg: RenderConfig, o, d, t_max, sort=False):
         fn = sorted_rows_any if (sort and cfg.sort_rays) else rows_any_dense
         return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
     if cfg.traversal == "pallas":
+        if _use_bf16(cfg, accel.dense):
+            from physically_based_ray_tracer_tpu.ops.pallas_bf16 import (
+                intersect_any_bf16, sorted_any_bf16)
+            fn = sorted_any_bf16 if (sort and cfg.sort_rays) \
+                else intersect_any_bf16
+            return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
         from physically_based_ray_tracer_tpu.ops.pallas_trace import (
             intersect_any_dense, sorted_any_dense)
         fn = sorted_any_dense if (sort and cfg.sort_rays) else intersect_any_dense
