@@ -55,14 +55,38 @@ def build_bench_scene():
 # note if the calibration artifact is missing.
 
 
-def load_live_fractions():
+def load_live_fractions(which="spheres"):
+    name = ("LIVE_RAYS_r04.json" if which == "spheres"
+            else "LIVE_RAYS_SCENE1_r04.json")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "docs", "LIVE_RAYS_r04.json")
+                        "docs", name)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         d = json.load(f)
     return d["extension_live_fraction"], d["shadow_live_fraction"]
+
+
+def build_scene1(width=1920, height=1080):
+    """BASELINE config #3: the real scene1 assets (SciFiHelmet + scene
+    JSON lights) with ALL FOUR light types at full 1080p — the capture
+    configuration of Core/Renderer.cpp:437-465 at the editor window's
+    aspect (template/common.h:8-9 scaled to 1080p)."""
+    import numpy as np
+    from physically_based_ray_tracer_tpu.scene.lights import LightSet
+    from physically_based_ray_tracer_tpu.scene.loader import load_reference_scene
+
+    scene, cam, depth = load_reference_scene("/root/reference/assets")
+    L = scene.lights
+    lights = LightSet.make(
+        point_pos=[[2, 2, 2], [-2, 2, -1], [0, 3, 0], [2, 1, -2]],
+        point_color=[[6, 6, 6], [3, 4, 5], [2, 2, 2], [3, 1, 1]],
+        dir_pos=np.array(L.dir_pos), dir_color=np.array(L.dir_color),
+        spot_pos=np.array(L.spot_pos), spot_color=np.array(L.spot_color),
+        spot_rot=np.array(L.spot_rot),
+        area_pos=[[0.0, 2.5, 0.0]], area_color=[[6.0, 5.0, 3.0]],
+        area_u=[[0.5, 0.0, 0.0]], area_v=[[0.0, 0.0, 0.5]])
+    return scene._replace(lights=lights), cam, depth
 
 
 def main():
@@ -81,15 +105,27 @@ def main():
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    which = "scene1" if "--scene" in sys.argv and         sys.argv[sys.argv.index("--scene") + 1] == "scene1" else "spheres"
+    precision = ("bf16" if "--bf16" in sys.argv else
+                 ("f32" if "--f32" in sys.argv else "f32"))
+
     # one_shadow_ray: the single-lane point-NEE estimator (converges to the
     # physically-consistent per-light sum; converged delta vs the reference
     # quirk estimator is on record in docs/ONE_SHADOW.json) — it removes the
     # NP*B occlusion pass that profiling showed was 74% of the frame
     # (docs/PROFILE_r03.json).
-    cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
-                       skybox=False, max_stack_depth=32, traversal="pallas",
-                       one_shadow_ray=True)
-    scene, cam, depth = build_bench_scene()
+    if which == "scene1":
+        scene, cam, depth = build_scene1()
+        cfg = RenderConfig(width=1920, height=1080, bounces=4, antialias=True,
+                           skybox=False, max_stack_depth=max(depth + 2, 40),
+                           traversal="pallas", one_shadow_ray=True,
+                           leaf_precision=precision)
+    else:
+        scene, cam, depth = build_bench_scene()
+        cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
+                           skybox=False, max_stack_depth=32,
+                           traversal="pallas", one_shadow_ray=True,
+                           leaf_precision=precision)
 
     n_pix = cfg.n_pixels
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
@@ -118,7 +154,7 @@ def main():
     times.sort()
     t_med = times[len(times) // 2]
 
-    frac = load_live_fractions()
+    frac = load_live_fractions(which)
     if frac is not None:
         from physically_based_ray_tracer_tpu.utils.timer import live_ray_count
         rays = live_ray_count(cfg, n_pix, frac[0], frac[1])
@@ -130,8 +166,10 @@ def main():
         rays = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
         counted = "lane-slots launched (upper bound; calibration missing)"
     mrays = rays / t_med / 1e6
+    label = ("scene1 1920x1080" if which == "scene1" else "1280x720")
     print(json.dumps({
-        "metric": "Mrays/s/chip (1280x720, 4-bounce path trace, NEE, AA)",
+        "metric": f"Mrays/s/chip ({label}, 4-bounce path trace, NEE, AA, "
+                  f"leaf_precision={precision})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),

@@ -60,35 +60,44 @@ def main():
     import bench
     from physically_based_ray_tracer_tpu.config import RenderConfig
 
-    scene, cam, depth = bench.build_bench_scene()
-    # traversal MUST be "pallas": the bench scene is built pallas-only
-    # (legacy_bvh=False — no world-baked BVH for the fallbacks to read).
-    # On CPU the megakernel runs in interpret mode; hits are identical.
-    cfg = RenderConfig(width=W, height=H, bounces=4, antialias=True,
-                       skybox=False, max_stack_depth=32, traversal="pallas",
-                       one_shadow_ray=True)
-    ext_f, shad_f, lanes = measure(scene, cam, cfg)
-    out = {
-        "what": "per-bounce live-lane fractions for the flagship bench scene "
-                "(fraction of AA-doubled path lanes whose extension / NEE "
-                "shadow ray is actually traced, vs lane-slots launched)",
-        "scene": "bench.build_bench_scene (9 instanced spheres + floor)",
-        "camera": "pos (0,2.5,7) target (0,0,0), 16:9",
-        "cfg": {"bounces": 4, "antialias": True, "skybox": False,
-                "one_shadow_ray": True},
-        "measured_at": f"{W}x{H} on CPU, {lanes} lanes",
-        "extension_live_fraction": [round(f, 4) for f in ext_f],
-        "shadow_live_fraction": [round(f, 4) for f in shad_f],
-        "honest_ray_factor": round(
-            (sum(ext_f) + sum(shad_f)) / (2.0 * len(ext_f)), 4),
-        "note": "honest rays/frame = lanes*(sum(ext)+sum(shadow)) vs the "
-                "old count lanes*2*bounces; ratio = honest_ray_factor",
+    docs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs")
+    # traversal MUST be "pallas": the bench scenes are built pallas-only
+    # (legacy_bvh for spheres is off; interpret mode on CPU, same hits).
+    targets = {
+        "LIVE_RAYS_r04.json": (
+            bench.build_bench_scene,
+            "bench.build_bench_scene (9 instanced spheres + floor)", 32),
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "LIVE_RAYS_r04.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out, indent=1))
+    if os.path.isdir("/root/reference/assets"):
+        targets["LIVE_RAYS_SCENE1_r04.json"] = (
+            bench.build_scene1,
+            "bench.build_scene1 (reference scene1, all 4 light types)", 40)
+    for name, (builder, desc, stack) in targets.items():
+        scene, cam, depth = builder()
+        cfg = RenderConfig(width=W, height=H, bounces=4, antialias=True,
+                           skybox=False, max_stack_depth=stack,
+                           traversal="pallas", one_shadow_ray=True)
+        ext_f, shad_f, lanes = measure(scene, cam, cfg)
+        out = {
+            "what": "per-bounce live-lane fractions (fraction of AA-doubled "
+                    "path lanes whose extension / NEE shadow ray is actually "
+                    "traced, vs lane-slots launched)",
+            "scene": desc,
+            "cfg": {"bounces": 4, "antialias": True, "skybox": False,
+                    "one_shadow_ray": True},
+            "measured_at": f"{W}x{H} on CPU, {lanes} lanes",
+            "extension_live_fraction": [round(f, 4) for f in ext_f],
+            "shadow_live_fraction": [round(f, 4) for f in shad_f],
+            "honest_ray_factor": round(
+                (sum(ext_f) + sum(shad_f)) / (2.0 * len(ext_f)), 4),
+            "note": "honest rays/frame = lanes*(sum(ext)+sum(shadow)) vs "
+                    "the old count lanes*2*bounces",
+        }
+        with open(os.path.join(docs, name), "w") as f:
+            json.dump(out, f, indent=1)
+        print(name, json.dumps(out["extension_live_fraction"]),
+              json.dumps(out["shadow_live_fraction"]), flush=True)
 
 
 if __name__ == "__main__":

@@ -37,9 +37,27 @@ def main():
     cfg = RenderConfig(width=512, height=512, bounces=2, antialias=False,
                        skybox=False, max_stack_depth=24)
     rows = measure_scaling(scene, cam, cfg, device_counts=[1, 2, 4, 8])
+    from physically_based_ray_tracer_tpu.parallel.scaling import \
+        measure_work_invariance
+    inv = measure_work_invariance(scene, cam, cfg, divisors=(1, 2, 4, 8))
     out = {"config": "512x512, 2-bounce, sphere_demo, virtual CPU mesh "
                      "(shared-core caveat: see experiments/scaling_virtual.py)",
-           "rows": rows}
+           "rows": rows,
+           "work_invariance": {
+               "what": "UNSHARDED wall-time of exactly the pixel subset "
+                       "each shard owns, vs cost(B)/n — separates the "
+                       "sharded program's per-device work (this) from "
+                       "host-core contention (the wall-clock table above). "
+                       "normalized_cost ~= 1 means per-device work is "
+                       "invariant under sharding; the forward frame has "
+                       "zero cross-chip collectives, so real-ICI "
+                       "efficiency = this x (1 - launch skew).",
+               "rows": inv,
+           },
+           "honest_status": "the BASELINE >90% multi-HOST criterion remains "
+                            "UNVERIFIED in this single-chip environment; "
+                            "virtual-mesh wall-clock is core-bound (2 "
+                            "physical cores) and is not ICI evidence."}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "SCALING_virtual8.json")
     with open(path, "w") as f:

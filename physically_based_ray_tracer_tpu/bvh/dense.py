@@ -90,12 +90,12 @@ class DenseBVH(NamedTuple):
     prim_base: jnp.ndarray  # (max(I,1),) i32 global prim offset per instance
     world_lo: jnp.ndarray   # (3,) f32 root bounds (for Morton ray sorting)
     world_hi: jnp.ndarray   # (3,) f32
-    # bf16 banded leaf storage for the small-tile megakernel
-    # (ops/pallas_bf16.py): group g occupies rows [80g, 80g+80); row
-    # 8*i + b = component i (v0-glo, e1, e2 — LOCAL to the group origin so
+    # bf16 banded leaf storage for the bf16-sweep megakernel
+    # (ops/pallas_bf16.py): group g occupies rows [32g, 32g+32); row
+    # 2*i + b = component i (v0-glo, e1, e2 — LOCAL to the group origin so
     # bf16's 8-bit mantissa applies to leaf-local coordinates, not scene
-    # coordinates) pre-rolled right by (b*c)//8 lanes (band b of 8).
-    groups_bf: jnp.ndarray | None = None   # (G*80, 128) bf16
+    # coordinates) pre-rolled right by (b*c)//2 lanes (band b of 2).
+    groups_bf: jnp.ndarray | None = None   # (G*32, 128) bf16
     glo: jnp.ndarray | None = None         # (G*8,) f32 group AABB per group:
     #                                        [lo.xyz, 0, hi.xyz, 0] (SMEM)
 
@@ -338,10 +338,14 @@ def _pack_groups(tri: np.ndarray, segments: list[np.ndarray]) -> np.ndarray:
 _NO_INST = np.zeros((1,), np.float32)
 
 # bf16 banded-group constants (ops/pallas_bf16.py): 9 geometry components
-# x 8 bands, padded to 80 rows = 5 native (16,128) bf16 tiles so
-# dynamic-offset HBM DMAs stay tile-aligned
-BF_BANDS = 8
-BF_ROWS = 80
+# x 2 bands (band 1 = band 0 pre-rolled by c/2), padded to 32 rows = 2
+# native (16,128) bf16 tiles so dynamic-offset HBM DMAs stay tile-aligned.
+# p=2 @ 1024-ray tiles keeps the proven f32 node/TLAS phase intact; wider
+# bands at narrower tiles LOSE on instanced scenes (each small tile
+# re-enters every overlapping instance's BLAS — measured 14x regression,
+# docs/BF16_VS_F32_r04.json history).
+BF_BANDS = 2
+BF_ROWS = 32
 
 
 def _group_period(pid_row: np.ndarray) -> int:
@@ -357,11 +361,11 @@ def _pack_groups_bf(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     component-major groups array (works for fresh builds AND refits — the
     period c is recovered from the prim-id row's replication pattern).
 
-    Band b of component i sits at row 8*i + b, pre-rolled right by
-    (b*c)//8 lanes: at sweep iteration k, ray lane l in band b tests
-    original lane (l - k - (b*c)//8) mod 128 — over k = 0..max(c/8,1)-1
-    the 8 bands cover every distinct triangle of the group exactly
-    (duplicates when c < 8, which is harmless).
+    Band b of component i sits at row BF_BANDS*i + b, pre-rolled right by
+    (b*c)//BF_BANDS lanes: at sweep iteration k, ray lane l in band b
+    tests original lane (l - k - (b*c)//BF_BANDS) mod 128 — over
+    k = 0..max(c/BF_BANDS,1)-1 the bands cover every distinct triangle of
+    the group exactly (duplicates when c < BF_BANDS are harmless).
     """
     G = groups.shape[0] // GROUP_ROWS
     gview = groups.reshape(G, GROUP_ROWS, LEAF_W)
@@ -382,7 +386,8 @@ def _pack_groups_bf(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         comps[0:3] -= glo[g, 0:3][:, None]                # local v0
         for b in range(BF_BANDS):
             shift = (b * c) // BF_BANDS
-            out[g, 8 * np.arange(9) + b, :] = np.roll(comps, shift, axis=-1)
+            out[g, BF_BANDS * np.arange(9) + b, :] = np.roll(comps, shift,
+                                                             axis=-1)
     out_bf = out.reshape(G * BF_ROWS, LEAF_W).astype(jnp.bfloat16)
     return out_bf, glo.reshape(-1)
 

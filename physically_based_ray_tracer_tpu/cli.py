@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-normal-map", action="store_true")
     p.add_argument("--no-stochastic", action="store_true")
     p.add_argument("--post", action="store_true", help="Panini + vignette + aberration")
+    p.add_argument("--post-preset", type=int, default=2, choices=(1, 2),
+                   help="named post chain preset (Core/Camera.h P1/P2): "
+                        "1 = wide-fov Panini + warm grade + strong vignette "
+                        "+ aberration; 2 = engine defaults")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--debug-pixel", nargs=2, type=int, metavar=("X", "Y"),
@@ -110,7 +114,7 @@ def main(argv=None):
         skybox=not args.no_skybox, lighted=not args.no_lights,
         normal_mapped=not args.no_normal_map,
         stochastic_lights=not args.no_stochastic,
-        post_processed=args.post)
+        post_processed=args.post, post_preset=args.post_preset)
 
     if args.session:
         if args.assets is None:
@@ -128,6 +132,15 @@ def main(argv=None):
     else:
         from physically_based_ray_tracer_tpu.scene.loader import load_reference_scene
         scene, cam, _ = load_reference_scene(args.assets, args.scene)
+
+    if args.post:
+        # preset fov/distortion drive the Panini projection
+        # (Core/Camera.h:20-23 P1/P2 values; fov only affects Panini)
+        from physically_based_ray_tracer_tpu.ops.tonemap import POST_PRESETS
+        import jax.numpy as _jnp
+        pp = POST_PRESETS.get(args.post_preset, POST_PRESETS[2])
+        cam = cam._replace(fov=_jnp.float32(pp["fov"]),
+                           distortion=_jnp.float32(pp["distortion"]))
 
     if args.debug_pixel is not None:
         import numpy as np

@@ -99,6 +99,8 @@ class RenderConfig:
     skybox: bool = True               # SKYBOX
     antialias: bool = True            # AA: 2 jittered rays/pixel (Core/Renderer.cpp:59-66)
     post_processed: bool = False      # isPostProcessed: panini + vignette + aberration
+    post_preset: int = 2              # named post chain preset (Core/Camera.h:11-29
+    #   P1/P2; UserInterface.cpp:238-318 Preset buttons). 2 = engine defaults
     stochastic_lights: bool = True    # isStochastic: NEE light-type lottery
     accumulate: bool = True           # accumulates: depth-keyed running mean
     samples_per_pixel: int = 1        # wavefront batch factor (reference: 1 frame = 1 spp)

@@ -51,6 +51,20 @@ def aces(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
+# Named post-process presets (Core/Camera.h:11-29, applied by the UI's
+# Preset buttons, Core/UserInterface.cpp:238-318). Each entry:
+# (grading rgb, fov deg, panini distortion, vignette intensity,
+#  vignette radius, aberration px). Preset 2 is the engine's defaults.
+POST_PRESETS = {
+    1: {"grading": (1.0, 1.0, 1.2), "fov": 90.0, "distortion": 2.0,
+        "vignette_intensity": 5.5, "vignette_radius": 0.8,
+        "aberration_intensity": -1},
+    2: {"grading": (1.0, 1.0, 1.0), "fov": 40.0, "distortion": 40.0,
+        "vignette_intensity": 20.0, "vignette_radius": 0.3,
+        "aberration_intensity": 0},
+}
+
+
 def post_process(img: jnp.ndarray, aberration_intensity: int = 0,
                  vignette_intensity: float = 20.0, vignette_radius: float = 0.3,
                  grading=(1.0, 1.0, 1.0)) -> jnp.ndarray:

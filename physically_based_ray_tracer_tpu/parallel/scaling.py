@@ -70,3 +70,53 @@ def measure_scaling(scene, cam, cfg: RenderConfig, device_counts=None,
             "efficiency": rate / (nd * base_rate),
         })
     return results
+
+
+def measure_work_invariance(scene, cam, cfg: RenderConfig, divisors=(1, 2, 4, 8),
+                            iters: int = 3, key=None):
+    """Dispatch/contention-free scaling evidence (VERDICT r3 item #10).
+
+    The virtual-CPU-mesh wall-clock table conflates the sharded program's
+    cost with host-core contention (N virtual devices share 2 physical
+    cores). This measures the thing the mesh cannot: the UNSHARDED cost of
+    exactly the pixel subset each shard would own. If cost(B/n) ~= cost(B)/n
+    (normalized ratio ~= 1), the per-device program work is invariant under
+    sharding — and since the forward frame has zero cross-chip collectives,
+    real-slice efficiency = work-invariance x (1 - launch skew), with no
+    term that grows with device count.
+
+    Returns [{'divisor': n, 'ms': t, 'normalized_cost': cost_n/(cost_1/n)}].
+    """
+    if key is None:
+        key = jax.random.key(0)
+    n_pix = cfg.n_pixels
+    from physically_based_ray_tracer_tpu.render.renderer import frame_fn
+    import functools
+
+    results = []
+    base = None
+    for nd in divisors:
+        assert n_pix % nd == 0
+        ids = jnp.arange(n_pix // nd, dtype=jnp.int32)   # shard 0's slice
+        film = FilmState.zeros(n_pix // nd)
+        step = jax.jit(functools.partial(frame_fn, cfg=cfg))
+
+        def sync(o):
+            import numpy as _np
+            return float(_np.asarray(jnp.sum(o[1])))
+
+        out = step(scene, cam, film=film, key=key, sample=0, pixel_ids=ids)
+        sync(out)
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            out = step(scene, cam, film=film, key=key, sample=i + 1,
+                       pixel_ids=ids)
+            sync(out)
+            times.append(time.perf_counter() - t0)
+        t = sorted(times)[len(times) // 2]
+        if base is None:
+            base = t
+        results.append({"divisor": nd, "ms": t * 1e3,
+                        "normalized_cost": t / (base / nd)})
+    return results

@@ -108,7 +108,10 @@ def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
                 intersect_closest_bf16, sorted_closest_bf16)
             fn = sorted_closest_bf16 if (sort and cfg.sort_rays) \
                 else intersect_closest_bf16
-            return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret())
+            # refine="fast": trace_paths refines exact (t,u,v) itself via
+            # refine_hit; duplicating it here costs 9 gathers/ray
+            return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret(),
+                      refine="fast")
         from physically_based_ray_tracer_tpu.ops.pallas_trace import (
             intersect_closest_dense, sorted_closest_dense)
         fn = sorted_closest_dense if (sort and cfg.sort_rays) \
@@ -431,6 +434,11 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
                                 jnp.take(scene.tri_e1, prim, axis=0, mode="clip"),
                                 jnp.take(scene.tri_e2, prim, axis=0, mode="clip"),
                                 mask=found)
+        # bf16-apron guard (no-op for the exact f32 engines whose hits
+        # always have min_uv >= 0): a winner more than the accept apron
+        # outside its triangle is a silhouette phantom — drop it
+        inside = (jnp.minimum(jnp.minimum(ru, rv), 1.0 - ru - rv) > -0.02)
+        found = found & inside
         hit_t = jnp.where(found, rt, hit.t)
         hit_u = jnp.where(found, ru, 0.0)
         hit_v = jnp.where(found, rv, 0.0)

@@ -140,7 +140,14 @@ class Renderer:
         img_flat[self._pixel_ids_np] = avg_flat
         img = img_flat.reshape(self.config.height, self.config.width, 3)
         if self.config.post_processed:
-            img = np.asarray(post_process(jnp.asarray(img)))
+            from physically_based_ray_tracer_tpu.ops.tonemap import POST_PRESETS
+            pp = POST_PRESETS.get(self.config.post_preset, POST_PRESETS[2])
+            img = np.asarray(post_process(
+                jnp.asarray(img),
+                aberration_intensity=pp["aberration_intensity"],
+                vignette_intensity=pp["vignette_intensity"],
+                vignette_radius=pp["vignette_radius"],
+                grading=pp["grading"]))
         return np.clip(img, 0.0, 1.0)
 
     def render(self, samples: int = 1, seed: int = 0) -> np.ndarray:

@@ -102,9 +102,17 @@ def test_exact_uv_of_selected_prim(sphere_bvh):
     q = np.cross(tv, e1)
     v = np.sum(d * q, -1) * inv
     t = np.sum(e2 * q, -1) * inv
-    np.testing.assert_allclose(np.asarray(h.u)[sel], u[sel], atol=1e-4)
-    np.testing.assert_allclose(np.asarray(h.v)[sel], v[sel], atol=1e-4)
+    # interior winners are EXACT; apron winners keep a clamped record
+    # displaced by at most the apron width (see pallas_bf16.REFINE_WIN)
+    min_uv = np.minimum(np.minimum(u, v), 1.0 - u - v)
+    interior = sel & (min_uv >= 1e-4)
+    np.testing.assert_allclose(np.asarray(h.u)[interior], u[interior],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h.v)[interior], v[interior],
+                               atol=1e-4)
     np.testing.assert_allclose(np.asarray(h.t)[sel], t[sel], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.u)[sel], np.clip(u, 0, 1)[sel],
+                               atol=0.025)
 
 
 def test_occlusion_vs_brute(sphere_bvh):
