@@ -166,6 +166,10 @@ def main():
         rays = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
         counted = "lane-slots launched (upper bound; calibration missing)"
     mrays = rays / t_med / 1e6
+    # lane-slot equivalent: the r1-r3 accounting (paths x bounces
+    # extension slots + live shadow), for cross-round trajectory
+    # comparability — NOT the headline (it over-counts dead lanes)
+    slots = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
     label = ("scene1 1920x1080" if which == "scene1" else "1280x720")
     print(json.dumps({
         "metric": f"Mrays/s/chip ({label}, 4-bounce path trace, NEE, AA, "
@@ -174,6 +178,9 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "counted": counted,
+        "frame_ms": round(t_med * 1e3, 1),
+        "lane_slot_equivalent_mrays": round(slots / t_med / 1e6, 2),
+        "lane_slot_note": "r1-r3 BENCH files used this looser accounting",
     }))
 
 
