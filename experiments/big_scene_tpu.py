@@ -64,15 +64,16 @@ def main():
     helmet = load_gltf(
         "/root/reference/assets/prefabs/models/SciFiHelmet/SciFiHelmet.gltf")
     n_tris = helmet.n_tris
-    insts = [Instance(0, position=(2.5 * (i % 4) - 3.75,
-                                   2.5 * (i // 4) - 1.25, 0.0))
-             for i in range(15)]
+    insts = [Instance(0, position=(2.5 * (i % 7) - 7.5,
+                                   2.5 * ((i // 7) % 7) - 3.75,
+                                   -2.5 * (i // 49)))
+             for i in range(45)]
     lights = LightSet.make(dir_pos=[[4, 6, 5]],
                            dir_color=[[2, 2, 2]]).pad_points(4)
     scene, _h, depth = build_scene_instanced([helmet], insts, lights,
                                              legacy_bvh=False)
     dn = scene.dense
-    total_tris = n_tris * 15
+    total_tris = n_tris * 45
     print(f"scene: {total_tris} instanced tris, "
           f"{dn.groups.shape[0] // 16} groups "
           f"(bf16 table {dn.groups_bf.nbytes / 1e6:.1f} MB)", flush=True)
