@@ -97,7 +97,11 @@ def measure_work_invariance(scene, cam, cfg: RenderConfig, divisors=(1, 2, 4, 8)
     base = None
     for nd in divisors:
         assert n_pix % nd == 0
-        ids = jnp.arange(n_pix // nd, dtype=jnp.int32)   # shard 0's slice
+        # STRIDED 1/nd subset: every nd-th pixel — a load-balanced shard's
+        # work (a contiguous slice can land on a cheap sky region and read
+        # sublinear; imbalance between real contiguous shards is what the
+        # per-bounce ring resharding addresses, docs/RESHARD.json)
+        ids = jnp.arange(0, n_pix, nd, dtype=jnp.int32)
         film = FilmState.zeros(n_pix // nd)
         step = jax.jit(functools.partial(frame_fn, cfg=cfg))
 

@@ -53,9 +53,9 @@ from physically_based_ray_tracer_tpu.ops.traverse_packet import (
     intersect_any_packet, intersect_closest_packet)
 from physically_based_ray_tracer_tpu.scene.camera import Camera, primary_rays, sample_skybox
 from physically_based_ray_tracer_tpu.scene.lights import sample_area_rect
-from physically_based_ray_tracer_tpu.scene.material import (geometry_normal,
-                                                            material_at_hit,
-                                                            shading_normal)
+from physically_based_ray_tracer_tpu.scene.material import (
+    gather_hit_attrs, geometry_normal, material_at_hit, material_packed,
+    packed_tables, shading_normal, shading_normal_packed)
 from physically_based_ray_tracer_tpu.utils import rng
 from physically_based_ray_tracer_tpu.utils.math import dot, normalize, reflect, refract
 from physically_based_ray_tracer_tpu.utils.rng import Purpose
@@ -385,6 +385,11 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
     # are recomputed analytically from the hit triangle below.
     sg = jax.lax.stop_gradient
     accel_sg = jax.tree.map(sg, Accel(scene.bvh, scene.dense))
+    # per-prim attribute packs: built ONCE per trace (linear concats, CSE'd
+    # across bounces) so the shading block pays 2-3 wide gathers per bounce
+    # instead of ~25 row gathers — measured ~40% of the bench frame
+    # (docs/FRAME_GLUE_r04.json). Values are identical to the unpacked path.
+    packs = packed_tables(scene)
 
     # Cross-chip ray re-sharding (SURVEY §2.5 ring row): inside shard_map,
     # each bounce donates up to cfg.reshard_block surplus live rays to the
@@ -429,10 +434,8 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
         found = hit.prim >= 0
-        rt, ru, rv = refine_hit(o, d,
-                                jnp.take(scene.tri_v0, prim, axis=0, mode="clip"),
-                                jnp.take(scene.tri_e1, prim, axis=0, mode="clip"),
-                                jnp.take(scene.tri_e2, prim, axis=0, mode="clip"),
+        attrs = gather_hit_attrs(scene, packs, prim)
+        rt, ru, rv = refine_hit(o, d, attrs["v0"], attrs["e1"], attrs["e2"],
                                 mask=found)
         # bf16-apron guard (no-op for the exact f32 engines whose hits
         # always have min_uv >= 0): a winner more than the accept apron
@@ -458,9 +461,10 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         # used (all contributions gate on `alive`).
         point = o + d * jnp.where(found, hit_t, 1.0)[:, None]
         v = -d
-        geom_n = geometry_normal(scene, prim)
-        shad_n = shading_normal(scene, prim, hit_u, hit_v, cfg.normal_mapped)
-        material = material_at_hit(scene, prim, hit_u, hit_v)
+        geom_n = attrs["face_n"]
+        shad_n = shading_normal_packed(scene, attrs, hit_u, hit_v,
+                                       cfg.normal_mapped)
+        material = material_packed(scene, attrs, hit_u, hit_v)
 
         vertex_rad = throughput * material.emissive
         vertex_rad = vertex_rad + throughput * direct_lighting(

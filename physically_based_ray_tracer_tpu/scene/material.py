@@ -135,3 +135,100 @@ def material_at_hit(scene, prim, u, v) -> MaterialProperties:
         transmissivness=_take(scene.mat_transmissive, model),
         reflectance=_take(scene.mat_reflectance, model),
         opacity=_take(scene.mat_opacity, model))
+
+
+# ---------------------------------------------------------------------------
+# Packed-table shading path (round 4): XLA row-gathers cost ~9 ns/element on
+# TPU, and the per-bounce shading block was doing ~25-30 of them — measured
+# as ~40% of the whole bench frame (docs/FRAME_GLUE_r04.json). The packs
+# below concatenate the per-prim attributes ONCE per trace (cheap linear
+# copies, CSE'd across bounces) so each bounce pays 2 wide gathers + the
+# genuine texture taps instead. Values are bit-identical to the unpacked
+# functions above (same rows, same math), which stay for AOV/debug callers.
+# ---------------------------------------------------------------------------
+
+def packed_tables(scene):
+    """(geom_pack (P,12), shade_pack (P,15), mat_pack (M,11))."""
+    P = scene.tri_v0.shape[0]
+    geom = jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                            scene.face_normal], axis=1)
+    shade = jnp.concatenate([scene.corner_normal.reshape(P, 9),
+                             scene.corner_uv.reshape(P, 6)], axis=1)
+    mat = jnp.concatenate([scene.mat_base,
+                           scene.mat_metal[:, None],
+                           scene.mat_rough[:, None],
+                           scene.mat_emissive,
+                           scene.mat_transmissive[:, None],
+                           scene.mat_reflectance[:, None],
+                           scene.mat_opacity[:, None]], axis=1)
+    return geom, shade, mat
+
+
+def gather_hit_attrs(scene, packs, prim):
+    """One gather per pack for a batch of hit prims; returns a dict of the
+    per-hit attribute slices every shading consumer needs."""
+    geom, shade, mat = packs
+    g = jnp.take(geom, prim, axis=0, mode="clip")        # (B, 12)
+    s = jnp.take(shade, prim, axis=0, mode="clip")       # (B, 15)
+    model = _take(scene.prim_model, prim)
+    m = jnp.take(mat, model, axis=0, mode="clip")        # (B, 10)
+    recs = _take(scene.tex_record, model)                # (B, 4, 3)
+    return dict(v0=g[:, 0:3], e1=g[:, 3:6], e2=g[:, 6:9],
+                face_n=g[:, 9:12],
+                n0=s[:, 0:3], n1=s[:, 3:6], n2=s[:, 6:9],
+                uv0=s[:, 9:11], uv1=s[:, 11:13], uv2=s[:, 13:15],
+                mat=m, recs=recs)
+
+
+def _interp_uv_attr(a, u, v):
+    w = 1.0 - u - v
+    return (w[..., None] * a["uv0"] + u[..., None] * a["uv1"]
+            + v[..., None] * a["uv2"])
+
+
+def shading_normal_packed(scene, a, u, v, normal_mapped: bool = True):
+    """shading_normal from pre-gathered attrs (identical math/values)."""
+    w = 1.0 - u - v
+    n = (w[..., None] * a["n0"] + u[..., None] * a["n1"]
+         + v[..., None] * a["n2"])
+    if not normal_mapped:
+        return normalize(n)
+    rec = a["recs"][..., TEX_NORMAL, :]
+    uv = _interp_uv_attr(a, u, v)
+    texel, has = fetch_texel(scene.texel_pool, rec, uv)
+    ncol = _decode_normal(texel)
+    duv1 = a["uv1"] - a["uv0"]
+    duv2 = a["uv2"] - a["uv0"]
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    t = normalize(inv_det[..., None]
+                  * (duv2[..., 1:2] * a["e1"] - duv1[..., 1:2] * a["e2"]))
+    b = normalize(inv_det[..., None]
+                  * (-duv2[..., 0:1] * a["e1"] + duv1[..., 0:1] * a["e2"]))
+    nw = normalize(n)
+    mapped = normalize(ncol[..., 0:1] * t + ncol[..., 1:2] * b
+                       + ncol[..., 2:3] * nw)
+    return jnp.where(has[..., None], mapped, normalize(n))
+
+
+def material_packed(scene, a, u, v) -> MaterialProperties:
+    """material_at_hit from pre-gathered attrs (identical math/values)."""
+    m = a["mat"]
+    recs = a["recs"]
+    uv = _interp_uv_attr(a, u, v)
+    albedo_texel, has_albedo = fetch_texel(scene.texel_pool,
+                                           recs[..., TEX_ALBEDO, :], uv)
+    base_tex = srgb_to_linear(_decode_rgb(albedo_texel))
+    base = jnp.where(has_albedo[..., None], base_tex, m[:, 0:3])
+    rma_texel, has_rma = fetch_texel(scene.texel_pool,
+                                     recs[..., TEX_RMA, :], uv)
+    rma = _decode_rgb(rma_texel)
+    rough = jnp.where(has_rma, rma[..., 1], m[:, 4])
+    metal = jnp.where(has_rma, rma[..., 2], m[:, 3])
+    emis_texel, has_emis = fetch_texel(scene.texel_pool,
+                                       recs[..., TEX_EMISSION, :], uv)
+    emissive = jnp.where(has_emis[..., None], _decode_rgb(emis_texel),
+                         m[:, 5:8])
+    return MaterialProperties(
+        base_color=base, metalness=metal, emissive=emissive, roughness=rough,
+        transmissivness=m[:, 8], reflectance=m[:, 9], opacity=m[:, 10])
