@@ -106,6 +106,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     which = "scene1" if "--scene" in sys.argv and         sys.argv[sys.argv.index("--scene") + 1] == "scene1" else "spheres"
+    chunk = (int(sys.argv[sys.argv.index("--chunk") + 1])
+             if "--chunk" in sys.argv else 65536)
     precision = ("bf16" if "--bf16" in sys.argv else
                  ("f32" if "--f32" in sys.argv else "f32"))
 
@@ -119,13 +121,13 @@ def main():
         cfg = RenderConfig(width=1920, height=1080, bounces=4, antialias=True,
                            skybox=False, max_stack_depth=max(depth + 2, 40),
                            traversal="pallas", one_shadow_ray=True,
-                           leaf_precision=precision)
+                           leaf_precision=precision, chunk_pixels=chunk)
     else:
         scene, cam, depth = build_bench_scene()
         cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
                            skybox=False, max_stack_depth=32,
                            traversal="pallas", one_shadow_ray=True,
-                           leaf_precision=precision)
+                           leaf_precision=precision, chunk_pixels=chunk)
 
     n_pix = cfg.n_pixels
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
