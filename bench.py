@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MRAYS = 500.0  # BASELINE.json: >500 Mrays/s/chip at 4-bounce
 
 
-def build_bench_scene():
+def build_bench_scene(dense_leaf_target: int = 16):
     from physically_based_ray_tracer_tpu.scene.camera import Camera
     from physically_based_ray_tracer_tpu.scene.lights import LightSet
     from physically_based_ray_tracer_tpu.scene.procedural import make_quad, make_sphere
@@ -42,8 +42,9 @@ def build_bench_scene():
     instances.append(Instance(1))
     # production dynamic path: shared BLAS per mesh + TLAS (the sphere mesh
     # is stored ONCE, not 9x), no legacy world-baked BVH (pallas-only)
-    scene, _handle, depth = build_scene_instanced([sphere, floor], instances,
-                                                  lights, legacy_bvh=False)
+    scene, _handle, depth = build_scene_instanced(
+        [sphere, floor], instances, lights, legacy_bvh=False,
+        dense_leaf_target=dense_leaf_target)
     cam = Camera.make(pos=(0, 2.5, 7), target=(0, 0, 0))
     return scene, cam, depth
 
@@ -108,6 +109,8 @@ def main():
     which = "scene1" if "--scene" in sys.argv and         sys.argv[sys.argv.index("--scene") + 1] == "scene1" else "spheres"
     chunk = (int(sys.argv[sys.argv.index("--chunk") + 1])
              if "--chunk" in sys.argv else 65536)
+    lt = (int(sys.argv[sys.argv.index("--lt") + 1])
+          if "--lt" in sys.argv else 16)
     precision = ("bf16" if "--bf16" in sys.argv else
                  ("f32" if "--f32" in sys.argv else "f32"))
 
@@ -123,7 +126,7 @@ def main():
                            traversal="pallas", one_shadow_ray=True,
                            leaf_precision=precision, chunk_pixels=chunk)
     else:
-        scene, cam, depth = build_bench_scene()
+        scene, cam, depth = build_bench_scene(dense_leaf_target=lt)
         cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
                            skybox=False, max_stack_depth=32,
                            traversal="pallas", one_shadow_ray=True,

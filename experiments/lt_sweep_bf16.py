@@ -96,7 +96,7 @@ def main():
     t_init = jnp.full((B,), 1e30, jnp.float32)
 
     out = {}
-    for lt in (16, 24, 32):
+    for lt in (32, 48, 64):
         scene, _h, _dep = build_scene_instanced(
             [sphere, floor], instances, lights, dense_leaf_target=lt,
             legacy_bvh=False)
