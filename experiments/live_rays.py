@@ -23,7 +23,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-W, H = 128, 72     # same aspect/camera as the 1280x720 flagship bench
+# same aspect/camera as the 1280x720 flagship bench; 256x144 (r5) halves
+# the 128x72 (r4) sub-pixel sampling bias — the r4->r5 fraction deltas are
+# recorded in the artifact as the measured resolution-drift bound
+# (ADVICE r4: the fractions are resolution-sensitive in principle)
+W, H = 256, 144
 
 
 def measure(scene, cam, cfg):
@@ -65,15 +69,20 @@ def main():
     # traversal MUST be "pallas": the bench scenes are built pallas-only
     # (legacy_bvh for spheres is off; interpret mode on CPU, same hits).
     targets = {
-        "LIVE_RAYS_r04.json": (
+        "LIVE_RAYS_r05.json": (
             bench.build_bench_scene,
             "bench.build_bench_scene (9 instanced spheres + floor)", 32),
     }
     if os.path.isdir("/root/reference/assets"):
-        targets["LIVE_RAYS_SCENE1_r04.json"] = (
+        targets["LIVE_RAYS_SCENE1_r05.json"] = (
             bench.build_scene1,
             "bench.build_scene1 (reference scene1, all 4 light types)", 40)
     for name, (builder, desc, stack) in targets.items():
+        prev_path = os.path.join(docs, name.replace("r05", "r04"))
+        prev = None
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                prev = json.load(f)
         scene, cam, depth = builder()
         cfg = RenderConfig(width=W, height=H, bounces=4, antialias=True,
                            skybox=False, max_stack_depth=stack,
@@ -94,6 +103,11 @@ def main():
             "note": "honest rays/frame = lanes*(sum(ext)+sum(shadow)) vs "
                     "the old count lanes*2*bounces",
         }
+        if prev is not None:
+            out["resolution_drift_vs_128x72"] = [
+                round(a - b, 4) for a, b in
+                zip(ext_f + shad_f, prev["extension_live_fraction"]
+                    + prev["shadow_live_fraction"])]
         with open(os.path.join(docs, name), "w") as f:
             json.dump(out, f, indent=1)
         print(name, json.dumps(out["extension_live_fraction"]),

@@ -369,25 +369,36 @@ def _pack_groups_bf(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """
     G = groups.shape[0] // GROUP_ROWS
     gview = groups.reshape(G, GROUP_ROWS, LEAF_W)
-    out = np.zeros((G, BF_ROWS, LEAF_W), np.float32)
+    pidrow = gview[:, 9, :]                               # (G, 128)
+    # replication period per group: smallest c with row == tile(row[:c])
+    # (vectorized across groups — the scalar per-group loop was a visible
+    # build/refit cost at 1M-triangle scale, ADVICE r4)
+    c_arr = np.full(G, LEAF_W, np.int64)
+    for c in (64, 32, 16, 8, 4, 2, 1):
+        eq = np.all(pidrow == np.tile(pidrow[:, :c], (1, LEAF_W // c)),
+                    axis=1)
+        c_arr[eq] = c
+    comps = gview[:, 0:9, :].copy()                       # (G, 9, 128)
+    v0 = comps[:, 0:3, :]
+    corners = np.concatenate(
+        [v0, v0 + comps[:, 3:6, :], v0 + comps[:, 6:9, :]], axis=2)
+    live3 = np.tile(pidrow >= 0, (1, 3))[:, None, :]      # (G, 1, 384)
+    lo = np.where(live3, corners, np.inf).min(axis=2)     # (G, 3)
+    hi = np.where(live3, corners, -np.inf).max(axis=2)
+    any_live = (pidrow >= 0).any(axis=1)[:, None]
+    lo = np.where(any_live, lo, 0.0).astype(np.float32)
+    hi = np.where(any_live, hi, 0.0).astype(np.float32)
     glo = np.zeros((G, 8), np.float32)     # [lo3, 0, hi3, 0] per group
-    for g in range(G):
-        pid = np.rint(gview[g, 9]).astype(np.int64)
-        live = pid >= 0
-        c = _group_period(gview[g, 9])
-        comps = gview[g, 0:9].copy()                      # (9, 128)
-        v0 = comps[0:3].T                                 # (128, 3)
-        e1 = comps[3:6].T
-        e2 = comps[6:9].T
-        if live.any():
-            cs = np.concatenate([v0[live], (v0 + e1)[live], (v0 + e2)[live]])
-            glo[g, 0:3] = cs.min(axis=0)
-            glo[g, 4:7] = cs.max(axis=0)
-        comps[0:3] -= glo[g, 0:3][:, None]                # local v0
-        for b in range(BF_BANDS):
-            shift = (b * c) // BF_BANDS
-            out[g, BF_BANDS * np.arange(9) + b, :] = np.roll(comps, shift,
-                                                             axis=-1)
+    glo[:, 0:3] = lo
+    glo[:, 4:7] = hi
+    comps[:, 0:3, :] -= lo[:, :, None]                    # local v0
+    out = np.zeros((G, BF_ROWS, LEAF_W), np.float32)
+    lanes = np.arange(LEAF_W)
+    for b in range(BF_BANDS):
+        shift = (b * c_arr) // BF_BANDS                   # (G,)
+        src = (lanes[None, None, :] - shift[:, None, None]) % LEAF_W
+        out[:, BF_BANDS * np.arange(9) + b, :] = np.take_along_axis(
+            comps, np.broadcast_to(src, comps.shape), axis=2)
     out_bf = out.reshape(G * BF_ROWS, LEAF_W).astype(jnp.bfloat16)
     return out_bf, glo.reshape(-1)
 

@@ -43,6 +43,15 @@ tests/test_pallas_bf16.py pins them against brute force).
 The occlusion variant drops ordered descent (shadow rays need no best-t
 ordering) and max-accumulates the accept mask in pure bf16.
 
+UNIT-SCALE ASSUMPTION: the arithmetic accept masks use absolute margins
+(y*1e4, |det|*1e8 - 0.01, t*1e4) tuned for ~unit-scale scenes (the
+reference's asset convention: helmet ~ 1-10 units). Hits closer than
+~1e-4 scene units are progressively rejected and the det cutoff scales
+with triangle area, so scenes authored in very small (micrometre) or
+very large (planetary) units should be normalised on import, or use
+leaf_precision="f32". The apron/penalty constants are scale-free
+(barycentric / relative-t).
+
 Reference roles: tinybvh BVH8_CPU::Intersect/IsOccluded + TLAS dispatch
 (Core/tiny_bvh.h:6302-6636, :2500-2565); the 2-band packed sweep is the
 TPU analogue of its 4-wide SIMD triangle leaves (BVHTri4Leaf,
@@ -442,10 +451,10 @@ def _pack(x, n_prog, pad, fill=0.0):
 
 
 def _call_bf16(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
-               interpret=False):
+               interpret=False, components=None):
     assert dbvh.groups_bf is not None, \
         "DenseBVH built without bf16 banded groups (rebuild the scene)"
-    B = o.shape[0]
+    B = t_max.shape[0] if components is not None else o.shape[0]
     n_prog = -(-B // TILE)
     pad = n_prog * TILE - B
     n_nodes = dbvh.nodes16.shape[0] // NODE_F
@@ -460,12 +469,9 @@ def _call_bf16(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
         max_steps = int(os.environ["PBRT_BF16_MAX_STEPS"])
     stack_depth = max(stack_depth, min(2 * n_nodes + 16, 4096))
 
-    ox = _pack(o[:, 0], n_prog, pad)
-    oy = _pack(o[:, 1], n_prog, pad)
-    oz = _pack(o[:, 2], n_prog, pad)
-    dx = _pack(d[:, 0], n_prog, pad)
-    dy = _pack(d[:, 1], n_prog, pad)
-    dz = _pack(d[:, 2], n_prog, pad)
+    if components is None:
+        components = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    ox, oy, oz, dx, dy, dz = (_pack(c, n_prog, pad) for c in components)
     tm = _pack(t_max, n_prog, pad)
 
     nodes = (dbvh.nodes16 if smem_nodes
@@ -675,10 +681,17 @@ def intersect_any_bf16(dbvh: DenseBVH, o, d, t_max, *,
     return t > 0.5
 
 
-def _morton_perm(dbvh: DenseBVH, o, d, dead=None, mode="octant_major"):
-    from physically_based_ray_tracer_tpu.ops.traverse_packet import morton_order
-    return morton_order(o, d, dbvh.world_lo, dbvh.world_hi, dead=dead,
-                        mode=mode)
+def _cosort_rays(dbvh: DenseBVH, o, d, t_max, mode):
+    """One multi-operand stable sort into coherent-tile order (identical
+    permutation to the old argsort+take path; see ops/pallas_trace.py)."""
+    from physically_based_ray_tracer_tpu.ops.traverse_packet import morton_key
+    key = morton_key(o, d, dbvh.world_lo, dbvh.world_hi,
+                     dead=t_max <= 0.0, mode=mode)
+    idx = jnp.arange(t_max.shape[0], dtype=jnp.int32)
+    _, idx_s, ox, oy, oz, dx, dy, dz, tm = jax.lax.sort(
+        (key, idx, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_max), num_keys=1)
+    return idx_s, (ox, oy, oz, dx, dy, dz), tm
 
 
 def sorted_closest_bf16(dbvh: DenseBVH, o, d, t_max=None, *,
@@ -686,20 +699,28 @@ def sorted_closest_bf16(dbvh: DenseBVH, o, d, t_max=None, *,
                         refine="exact", **_ignored) -> Hit:
     if t_max is None:
         t_max = jnp.full((o.shape[0],), BVH_FAR, o.dtype)
-    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0, mode=sort_mode)
-    hit = intersect_closest_bf16(dbvh, jnp.take(o, perm, axis=0),
-                                 jnp.take(d, perm, axis=0),
-                                 jnp.take(t_max, perm), interpret=interpret,
-                                 refine=refine)
-    inv = jnp.argsort(perm)
-    return jax.tree.map(lambda x: jnp.take(x, inv, axis=0), hit)
+    idx_s, comps, tm = _cosort_rays(dbvh, o, d, t_max, sort_mode)
+    tb, gk, inst = _call_bf16(dbvh, None, None, tm, closest=True,
+                              interpret=interpret, components=comps)
+    # decode in SORTED order (the winner-slot decode depends on the lane
+    # position the kernel saw), then co-sort the hit record back
+    if refine == "fast":
+        hit = _decode_fast(dbvh, tb, gk, inst)
+    else:
+        os_ = jnp.stack(comps[0:3], axis=1)
+        ds_ = jnp.stack(comps[3:6], axis=1)
+        hit = _decode_refine(dbvh, os_, ds_, tm, tb, gk, inst)
+    _, t, u, v, prim, inst = jax.lax.sort(
+        (idx_s, hit.t, hit.u, hit.v, hit.prim, hit.inst), num_keys=1)
+    return Hit(t=t, u=u, v=v, prim=prim, inst=inst)
 
 
 def sorted_any_bf16(dbvh: DenseBVH, o, d, t_max, *,
                     interpret=False, sort_mode="octant_major",
                     **_ignored) -> jnp.ndarray:
-    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0, mode=sort_mode)
-    occ = intersect_any_bf16(dbvh, jnp.take(o, perm, axis=0),
-                             jnp.take(d, perm, axis=0),
-                             jnp.take(t_max, perm), interpret=interpret)
-    return jnp.take(occ, jnp.argsort(perm), axis=0)
+    idx_s, comps, tm = _cosort_rays(dbvh, o, d, t_max, sort_mode)
+    t, _, _ = _call_bf16(dbvh, None, None, tm, closest=False,
+                         interpret=interpret, components=comps)
+    occ = (t > 0.5).astype(jnp.int32)
+    _, occ = jax.lax.sort((idx_s, occ), num_keys=1)
+    return occ > 0

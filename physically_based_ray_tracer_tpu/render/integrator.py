@@ -87,7 +87,8 @@ def _use_bf16(cfg: RenderConfig, dense) -> bool:
     return dense.groups_bf.shape[0] // BF_ROWS <= GLO_SMEM_LIMIT
 
 
-def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
+def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False,
+             refine="exact"):
     """Traversal dispatch: "pallas" (fused megakernel, production path),
     "wave" (XLA packet + decoupled dense leaf phase), "packet" (inline leaf
     tests), or "lane" (per-ray stack).
@@ -108,10 +109,12 @@ def _closest(accel: Accel, cfg: RenderConfig, o, d, t_max=None, sort=False):
                 intersect_closest_bf16, sorted_closest_bf16)
             fn = sorted_closest_bf16 if (sort and cfg.sort_rays) \
                 else intersect_closest_bf16
-            # refine="fast": trace_paths refines exact (t,u,v) itself via
-            # refine_hit; duplicating it here costs 9 gathers/ray
+            # refine="fast" (trace_paths only): the integrator refines exact
+            # (t,u,v) itself via refine_hit; duplicating it here costs
+            # 9 gathers/ray. Other callers (render_aov, debugger) consume
+            # hit.u/hit.v directly and need the exact decode.
             return fn(accel.dense, o, d, t_max, interpret=_pallas_interpret(),
-                      refine="fast")
+                      refine=refine)
         from physically_based_ray_tracer_tpu.ops.pallas_trace import (
             intersect_closest_dense, sorted_closest_dense)
         fn = sorted_closest_dense if (sort and cfg.sort_rays) \
@@ -243,16 +246,21 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
                    * (falloff * cosa)[..., None])                     # (B, NP, 3)
         u_sel = rng.uniform1(key, pixel_id, sample, depth, Purpose.LIGHT_SELECT)
         which = jnp.minimum((u_sel * np_).astype(jnp.int32), np_ - 1)
-        w3 = which[:, None, None]
-        l_sel = jnp.take_along_axis(ldir, w3, axis=1)[:, 0, :]
-        c_sel = jnp.take_along_axis(contrib, w3, axis=1)[:, 0, :] * np_
+        # 1-of-NP selection as a one-hot reduction, NOT take_along_axis:
+        # per-lane gathers cost ~9 ns/element on TPU and these three were
+        # ~14% of the bench frame (profiles/frame_r05_f32); a multiply-sum
+        # over NP (small) fuses into the surrounding elementwise block
+        onehot = (jnp.arange(np_, dtype=jnp.int32)[None, :]
+                  == which[:, None]).astype(point.dtype)      # (B, NP)
+        l_sel = jnp.einsum("bn,bnc->bc", onehot, ldir)
+        c_sel = jnp.einsum("bn,bnc->bc", onehot, contrib) * np_
         # reference quirk: tmax = dist^2 (squared!, Core/Renderer.cpp:257)
         # — an occluder BEYOND the light still blocks it, and shadow rays
         # traverse far past the light. exact_shadow_tmax bounds the ray at
         # the light (physically consistent, like the rest of the
         # one_shadow_ray estimator) and prunes that excess traversal.
         src = dist if cfg.exact_shadow_tmax else dist_sq
-        t_sel = jnp.take_along_axis(src, which[:, None], axis=1)[:, 0]
+        t_sel = jnp.sum(onehot * src, axis=1)
         point_one = (l_sel, t_sel - EPSILON, c_sel / p_point)
     elif lights.n_point > 0 and p_point > 0:
         np_ = lights.n_point
@@ -290,7 +298,9 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         # specular BRDF from ONE randomly chosen light: int(u*10) % NP
         u_sel = rng.uniform1(key, pixel_id, sample, depth, Purpose.LIGHT_SELECT)
         which = (u_sel * 10.0).astype(jnp.int32) % np_
-        l_sel = jnp.take_along_axis(ldir, which[:, None, None], axis=1)[:, 0, :]
+        onehot = (jnp.arange(np_, dtype=jnp.int32)[None, :]
+                  == which[:, None]).astype(point.dtype)
+        l_sel = jnp.einsum("bn,bnc->bc", onehot, ldir)
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_sel, v, material, cfg.brdf)
         result = result + jnp.where(pick_point[:, None], bsdf * point_contrib, 0.0)
 
@@ -406,6 +416,29 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
     pixel_id0 = pixel_id
 
     def body(carry, depth):
+        def vertex(carry):
+            return _vertex(carry, depth)
+
+        if collect_debug or resharding:
+            # debug wants per-bounce records even when everything is dead;
+            # under cross-chip resharding the gate predicate is shard-local
+            # and the branch contains collectives — gating would deadlock
+            # devices whose predicates disagree
+            return vertex(carry)
+
+        def skip(carry):
+            dbg = ((jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+                   if collect_live else None)
+            return carry, dbg
+
+        # bounce gate (r5, measured): a fully-dead wavefront chunk still
+        # paid ~11 ms/bounce of full-width sorts/kernels/glue — the sky
+        # chunks of the bench frame (4.2 of 15 chunks) burned 3 dead
+        # bounces each (docs/CHUNK_COSTS_r05_f32.json). One scalar any()
+        # per bounce skips them.
+        return jax.lax.cond(jnp.any(carry[4]), vertex, skip, carry)
+
+    def _vertex(carry, depth):
         o, d, radiance, throughput, alive, primary_t = carry
 
         if resharding:
@@ -430,7 +463,8 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         # shadow directions per tile). Per-pass sorts stay (docs/PERF_LOG.md).
         alive_in = alive
         t_init = jnp.where(alive, BVH_FAR, 0.0)
-        hit = _closest(accel_sg, cfg, sg(o), sg(d), sg(t_init), sort=True)
+        hit = _closest(accel_sg, cfg, sg(o), sg(d), sg(t_init), sort=True,
+                       refine="fast")
         # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
         found = hit.prim >= 0
@@ -442,6 +476,11 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         # outside its triangle is a silhouette phantom — drop it
         inside = (jnp.minimum(jnp.minimum(ru, rv), 1.0 - ru - rv) > -0.02)
         found = found & inside
+        # apron hits can carry slightly-negative barycentrics; clamp to the
+        # simplex (as _decode_refine does) so UV/normal interpolation never
+        # extrapolates outside the triangle. No-op for exact f32 engines.
+        ru = jnp.clip(ru, 0.0, 1.0)
+        rv = jnp.clip(rv, 0.0, jnp.maximum(1.0 - ru, 0.0))
         hit_t = jnp.where(found, rt, hit.t)
         hit_u = jnp.where(found, ru, 0.0)
         hit_v = jnp.where(found, rv, 0.0)
