@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MRAYS = 500.0  # BASELINE.json: >500 Mrays/s/chip at 4-bounce
 
 
-def build_bench_scene(dense_leaf_target: int = 16):
+def build_bench_scene(dense_leaf_target: int = 16, flatten: str = "auto"):
     from physically_based_ray_tracer_tpu.scene.camera import Camera
     from physically_based_ray_tracer_tpu.scene.lights import LightSet
     from physically_based_ray_tracer_tpu.scene.procedural import make_quad, make_sphere
@@ -40,11 +40,13 @@ def build_bench_scene(dense_leaf_target: int = 16):
     instances = [Instance(0, position=(dx, 0, dz))
                  for dx in (-2.2, 0.0, 2.2) for dz in (-2.2, 0.0, 2.2)]
     instances.append(Instance(1))
-    # production dynamic path: shared BLAS per mesh + TLAS (the sphere mesh
-    # is stored ONCE, not 9x), no legacy world-baked BVH (pallas-only)
+    # scene-adaptive layout (r5): instanced build with flatten="auto" — the
+    # engine world-bakes this small static scene into ONE single-level tree
+    # (10 instances, 38k world tris; two-level TLAS re-entry cost removed),
+    # exactly what it would do for any static scene under the budget caps
     scene, _handle, depth = build_scene_instanced(
         [sphere, floor], instances, lights, legacy_bvh=False,
-        dense_leaf_target=dense_leaf_target)
+        dense_leaf_target=dense_leaf_target, flatten=flatten)
     cam = Camera.make(pos=(0, 2.5, 7), target=(0, 0, 0))
     return scene, cam, depth
 
@@ -57,15 +59,20 @@ def build_bench_scene(dense_leaf_target: int = 16):
 
 
 def load_live_fractions(which="spheres"):
-    name = ("LIVE_RAYS_r04.json" if which == "spheres"
-            else "LIVE_RAYS_SCENE1_r04.json")
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "docs", name)
-    if not os.path.exists(path):
+    base = "LIVE_RAYS" if which == "spheres" else "LIVE_RAYS_SCENE1"
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    path = None
+    for rev in ("r05", "r04"):   # prefer the freshest calibration
+        cand = os.path.join(docs, f"{base}_{rev}.json")
+        if os.path.exists(cand):
+            path = cand
+            break
+    if path is None:
         return None
     with open(path) as f:
         d = json.load(f)
-    return d["extension_live_fraction"], d["shadow_live_fraction"]
+    return (d["extension_live_fraction"], d["shadow_live_fraction"],
+            d.get("measured_at", "unknown"))
 
 
 def build_scene1(width=1920, height=1080):
@@ -126,7 +133,13 @@ def main():
                            traversal="pallas", one_shadow_ray=True,
                            leaf_precision=precision, chunk_pixels=chunk)
     else:
-        scene, cam, depth = build_bench_scene(dense_leaf_target=lt)
+        # --no-flatten: force the two-level TLAS layout; --flatten: force
+        # world-baked even past the auto policy's fast-memory budgets
+        flat = ("auto" if "--flatten" not in sys.argv else True)
+        if "--no-flatten" in sys.argv:
+            flat = False
+        scene, cam, depth = build_bench_scene(dense_leaf_target=lt,
+                                              flatten=flat)
         cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
                            skybox=False, max_stack_depth=32,
                            traversal="pallas", one_shadow_ray=True,
@@ -160,9 +173,11 @@ def main():
     t_med = times[len(times) // 2]
 
     frac = load_live_fractions(which)
+    calibration = None
     if frac is not None:
         from physically_based_ray_tracer_tpu.utils.timer import live_ray_count
         rays = live_ray_count(cfg, n_pix, frac[0], frac[1])
+        calibration = frac[2]
         counted = ("expected LIVE rays actually traced (primary + AA + live "
                    "bounce extensions + live NEE shadow rays; dead lanes "
                    "excluded), per-bounce live fractions measured by "
@@ -183,6 +198,7 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "counted": counted,
+        "live_fraction_calibration": calibration,
         "frame_ms": round(t_med * 1e3, 1),
         "lane_slot_equivalent_mrays": round(slots / t_med / 1e6, 2),
         "lane_slot_note": "r1-r3 BENCH files used this looser accounting",

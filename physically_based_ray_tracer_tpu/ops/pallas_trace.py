@@ -332,8 +332,11 @@ def _pack(x, n_prog, pad, fill=0.0):
 
 
 def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
-                 interpret=False):
-    B = o.shape[0]
+                 interpret=False, components=None):
+    """``components``: optional pre-split (ox, oy, oz, dx, dy, dz) tuple —
+    the co-sorting wrappers already hold per-component arrays, so slicing
+    o/d again would add six avoidable slice fusions per call."""
+    B = t_max.shape[0] if components is not None else o.shape[0]
     n_prog = -(-B // TILE)
     pad = n_prog * TILE - B
     n_nodes = dbvh.nodes16.shape[0] // NODE_F
@@ -357,12 +360,9 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
     # int32s) and clamp writes as a last-resort guard.
     stack_depth = max(stack_depth, min(2 * n_nodes + 16, 4096))
 
-    ox = _pack(o[:, 0], n_prog, pad)
-    oy = _pack(o[:, 1], n_prog, pad)
-    oz = _pack(o[:, 2], n_prog, pad)
-    dx = _pack(d[:, 0], n_prog, pad)
-    dy = _pack(d[:, 1], n_prog, pad)
-    dz = _pack(d[:, 2], n_prog, pad)
+    if components is None:
+        components = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    ox, oy, oz, dx, dy, dz = (_pack(c, n_prog, pad) for c in components)
     tm = _pack(t_max, n_prog, pad)
 
     nodes = dbvh.nodes16 if smem_nodes else dbvh.nodes16.reshape(-1, NODE_F)
@@ -406,15 +406,17 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
 
 
 def intersect_closest_dense(dbvh: DenseBVH, o, d, t_max=None, *,
-                            interpret=False, **_ignored) -> Hit:
+                            interpret=False, components=None,
+                            **_ignored) -> Hit:
     """Closest-hit traversal; o, d: (B, 3). Returns Hit with prim in
     original triangle order (ids baked into the leaf groups) and inst = the
     instance id for two-level tables (0 for single-level)."""
-    B = o.shape[0]
+    B = t_max.shape[0] if components is not None else o.shape[0]
     if t_max is None:
         t_max = jnp.full((B,), BVH_FAR, o.dtype)
     t, u, v, prim, inst = _call_kernel(dbvh, o, d, t_max, closest=True,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       components=components)
     found = prim >= 0
     # shared-BLAS prim ids are mesh-local; map to the scene's global
     # per-instance-concatenated order (bvh/dense.py prim_base)
@@ -427,17 +429,31 @@ def intersect_closest_dense(dbvh: DenseBVH, o, d, t_max=None, *,
 
 
 def intersect_any_dense(dbvh: DenseBVH, o, d, t_max, *,
-                        interpret=False, **_ignored) -> jnp.ndarray:
+                        interpret=False, components=None,
+                        **_ignored) -> jnp.ndarray:
     """Occlusion query: True where a hit exists with t in (0, t_max)."""
     t, _, _, _, _ = _call_kernel(dbvh, o, d, t_max, closest=False,
-                                 interpret=interpret)
+                                 interpret=interpret, components=components)
     return t > 0.0
 
 
-def _morton_perm(dbvh: DenseBVH, o, d, dead=None, mode="octant_major"):
-    from physically_based_ray_tracer_tpu.ops.traverse_packet import morton_order
-    return morton_order(o, d, dbvh.world_lo, dbvh.world_hi, dead=dead,
-                        mode=mode)
+def _cosort_rays(dbvh: DenseBVH, o, d, t_max, mode):
+    """ONE multi-operand stable sort carries the key, the original index
+    and all seven ray components into coherent-tile order.
+
+    The r4 wrappers did argsort + 3 permutation `take`s in and argsort +
+    N `take`s out; at ~9 ns/gathered element those takes cost ~30% of the
+    bench frame (profiles/frame_r05_f32, docs/PERF_LOG.md r5). A stable
+    co-sort produces the identical permutation (stable on equal keys),
+    so hits are bit-identical."""
+    from physically_based_ray_tracer_tpu.ops.traverse_packet import morton_key
+    key = morton_key(o, d, dbvh.world_lo, dbvh.world_hi,
+                     dead=t_max <= 0.0, mode=mode)
+    idx = jnp.arange(t_max.shape[0], dtype=jnp.int32)
+    _, idx_s, ox, oy, oz, dx, dy, dz, tm = jax.lax.sort(
+        (key, idx, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_max), num_keys=1)
+    return idx_s, (ox, oy, oz, dx, dy, dz), tm
 
 
 def sorted_closest_dense(dbvh: DenseBVH, o, d, t_max=None, *,
@@ -446,19 +462,21 @@ def sorted_closest_dense(dbvh: DenseBVH, o, d, t_max=None, *,
     """Closest-hit on octant+Morton-sorted rays (bounce/shadow wavefronts)."""
     if t_max is None:
         t_max = jnp.full((o.shape[0],), BVH_FAR, o.dtype)
-    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0, mode=sort_mode)
-    hit = intersect_closest_dense(dbvh, jnp.take(o, perm, axis=0),
-                                  jnp.take(d, perm, axis=0),
-                                  jnp.take(t_max, perm), interpret=interpret)
-    inv = jnp.argsort(perm)
-    return jax.tree.map(lambda x: jnp.take(x, inv, axis=0), hit)
+    idx_s, comps, tm = _cosort_rays(dbvh, o, d, t_max, sort_mode)
+    hit = intersect_closest_dense(dbvh, None, None, tm, interpret=interpret,
+                                  components=comps)
+    # unsort: co-sort the hit record back by original index (one sort
+    # instead of argsort + 5 takes)
+    _, t, u, v, prim, inst = jax.lax.sort(
+        (idx_s, hit.t, hit.u, hit.v, hit.prim, hit.inst), num_keys=1)
+    return Hit(t=t, u=u, v=v, prim=prim, inst=inst)
 
 
 def sorted_any_dense(dbvh: DenseBVH, o, d, t_max, *,
                      interpret=False, sort_mode="octant_major",
                      **_ignored) -> jnp.ndarray:
-    perm = _morton_perm(dbvh, o, d, dead=t_max <= 0.0, mode=sort_mode)
-    occ = intersect_any_dense(dbvh, jnp.take(o, perm, axis=0),
-                              jnp.take(d, perm, axis=0),
-                              jnp.take(t_max, perm), interpret=interpret)
-    return jnp.take(occ, jnp.argsort(perm), axis=0)
+    idx_s, comps, tm = _cosort_rays(dbvh, o, d, t_max, sort_mode)
+    occ = intersect_any_dense(dbvh, None, None, tm, interpret=interpret,
+                              components=comps)
+    _, occ = jax.lax.sort((idx_s, occ.astype(jnp.int32)), num_keys=1)
+    return occ > 0

@@ -227,11 +227,13 @@ class InstancedScene:
 
     models: list[MeshModel]
     instances: list[Instance]
-    tlas_meta: TLASMeta
+    tlas_meta: TLASMeta | None      # None = flattened (world-baked) layout
     leaf_size: int
     legacy_bvh: bool
     prim_start: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     prim_count: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    dense_leaf_target: int = 16
+    dense_shape: bool = True
 
 
 def _instance_offsets(models, instances):
@@ -256,12 +258,35 @@ def _bake_one(mdl: MeshModel, inst: Instance):
             wf.astype(np.float32), wn.astype(np.float32))
 
 
+# Scene-adaptive layout policy (r5, VERDICT #2): a two-level TLAS pays a
+# per-tile BLAS re-entry cost in the lockstep traversal kernels; flattening
+# to ONE world-baked tree removes it — but replication multiplies the leaf
+# group and node tables, and the measured frame REGRESSES 1.2x when the
+# flattened tables spill their fast memory tiers (bench scene flattened:
+# 2.4k groups > VMEM budget -> per-visit HBM DMA; 4.8k nodes > SMEM limit;
+# docs/PERF_LOG.md r5 "scene-adaptive layout"). So "auto" flattens ONLY
+# when the flattened tree still fits: nodes in SMEM and groups in VMEM
+# (checked post-build, falling back to the TLAS otherwise).
+FLATTEN_MAX_INSTANCES = 128
+FLATTEN_MAX_TRIS = 1 << 18
+
+
+def _dense_fits_fast_memory(dense) -> bool:
+    from physically_based_ray_tracer_tpu.bvh.dense import GROUP_ROWS, NODE_F
+    from physically_based_ray_tracer_tpu.ops.pallas_trace import (
+        SMEM_NODE_LIMIT, VMEM_GROUP_LIMIT)
+    n_nodes = dense.nodes16.shape[0] // NODE_F
+    n_groups = dense.groups.shape[0] // GROUP_ROWS
+    return n_nodes <= SMEM_NODE_LIMIT and n_groups <= VMEM_GROUP_LIMIT
+
+
 def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
                           lights: LightSet | None = None,
                           sky: np.ndarray | None = None,
                           leaf_size: int = 16, dense_leaf_target: int = 16,
                           dense_shape: bool = True,
                           legacy_bvh: bool = True,
+                          flatten: bool | str = False,
                           ) -> tuple[SceneData, InstancedScene, int]:
     """Two-level build: shared BLAS per model + TLAS over instances.
 
@@ -272,16 +297,36 @@ def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
     only when cfg.traversal == "pallas"); a 1-triangle placeholder keeps the
     pytree shape.
 
+    ``flatten``: False keeps the two-level structure (the choice for scenes
+    that move every frame — rebuild_scene stays O(instances)); "auto" lets
+    the engine world-bake small scenes (<= FLATTEN_MAX_INSTANCES instances,
+    <= FLATTEN_MAX_TRIS flattened triangles) into ONE single-level tree —
+    markedly faster to traverse; rebuild_scene then falls back to a full
+    dense rebuild on motion; True forces flattening.
+
     Returns (scene_data, instanced_handle, depth).
     """
     baked = _bake_world(models, instances)
-    mesh_tris = [m.corners.reshape(-1, 3, 3).astype(np.float32)
-                 for m in models]
-    inst_mesh = np.array([i.model for i in instances], np.int64)
-    transforms = np.stack([i.transform for i in instances]).astype(np.float32)
-    dense, meta, ddepth = build_dense_tlas(mesh_tris, inst_mesh, transforms,
-                                           leaf_target=dense_leaf_target,
-                                           shape=dense_shape)
+    do_flatten = (flatten is True) or (
+        flatten == "auto" and len(instances) <= FLATTEN_MAX_INSTANCES
+        and baked["tri"].shape[0] <= FLATTEN_MAX_TRIS)
+    if do_flatten:
+        dense, ddepth = build_dense(baked["tri"],
+                                    leaf_target=dense_leaf_target,
+                                    shape=dense_shape)
+        meta = None
+        if flatten == "auto" and not _dense_fits_fast_memory(dense):
+            do_flatten = False   # replicated tables spill VMEM/SMEM
+    if not do_flatten:
+        mesh_tris = [m.corners.reshape(-1, 3, 3).astype(np.float32)
+                     for m in models]
+        inst_mesh = np.array([i.model for i in instances], np.int64)
+        transforms = np.stack([i.transform
+                               for i in instances]).astype(np.float32)
+        dense, meta, ddepth = build_dense_tlas(mesh_tris, inst_mesh,
+                                               transforms,
+                                               leaf_target=dense_leaf_target,
+                                               shape=dense_shape)
     if legacy_bvh:
         bvh = build_bvh(baked["tri"], leaf_size=leaf_size)
         depth = max(bvh_depth(bvh), ddepth)
@@ -293,7 +338,9 @@ def build_scene_instanced(models: list[MeshModel], instances: list[Instance],
     handle = InstancedScene(models=models, instances=list(instances),
                             tlas_meta=meta, leaf_size=leaf_size,
                             legacy_bvh=legacy_bvh,
-                            prim_start=starts, prim_count=counts)
+                            prim_start=starts, prim_count=counts,
+                            dense_leaf_target=dense_leaf_target,
+                            dense_shape=dense_shape)
     return data, handle, depth
 
 
@@ -306,11 +353,14 @@ def rebuild_scene(data: SceneData, handle: InstancedScene,
     the TLAS head + O(moved triangles) for the shading update; BLAS nodes
     and leaf groups are never touched.
 
-    Mesh membership must be unchanged (same models per instance slot)."""
+    Mesh membership must be unchanged (same models per instance slot).
+
+    Flattened scenes (handle.tlas_meta is None, the small-static layout of
+    build_scene_instanced(flatten=...)) have no TLAS to refresh: instance
+    motion triggers a full dense rebuild over the updated world triangles —
+    the documented trade for the faster single-level traversal."""
     assert len(instances) == len(handle.instances)
     assert all(a.model == b.model for a, b in zip(instances, handle.instances))
-    transforms = np.stack([i.transform for i in instances]).astype(np.float32)
-    dense = refresh_tlas(data.dense, handle.tlas_meta, transforms)
 
     moved = [i for i, (a, b) in enumerate(zip(instances, handle.instances))
              if not np.allclose(a.transform, b.transform)]
@@ -335,6 +385,18 @@ def rebuild_scene(data: SceneData, handle: InstancedScene,
         wn = np.concatenate([p[4] for p in parts])
         corner_n = corner_n.at[cidx].set(jnp.asarray(
             wn.reshape(-1, 3, 3).swapaxes(0, 1).reshape(-1, 3)))
+    if handle.tlas_meta is not None:
+        transforms = np.stack([i.transform
+                               for i in instances]).astype(np.float32)
+        dense = refresh_tlas(data.dense, handle.tlas_meta, transforms)
+    elif moved:
+        tri = np.stack([np.asarray(tri_v0),
+                        np.asarray(tri_v0) + np.asarray(tri_e1),
+                        np.asarray(tri_v0) + np.asarray(tri_e2)], axis=1)
+        dense, _ = build_dense(tri, leaf_target=handle.dense_leaf_target,
+                               shape=handle.dense_shape)
+    else:
+        dense = data.dense
     if handle.legacy_bvh:
         # non-Pallas engines traverse the world-baked BVH: full rebuild
         tri = np.stack([np.asarray(tri_v0),
