@@ -18,8 +18,8 @@ import numpy as np
 from physically_based_ray_tracer_tpu.bvh.dense import DenseBVH
 from physically_based_ray_tracer_tpu.bvh.types import BVHArrays
 
-FORMAT_VERSION = 2   # v2: + bf16 banded leaf table (groups_bf) and group
-#      AABBs (glo); v1 caches silently rebuild
+FORMAT_VERSION = 3   # v3: + compact winner-decode prim table (pids_c);
+#      v2 added groups_bf/glo; older caches silently rebuild
 
 
 def _norm(path: str) -> str:
@@ -78,7 +78,7 @@ def save_dense(path: str, dbvh: DenseBVH, triangles=None, params: str = ""):
         inst16=np.asarray(dbvh.inst16), prim_base=np.asarray(dbvh.prim_base),
         world_lo=np.asarray(dbvh.world_lo), world_hi=np.asarray(dbvh.world_hi),
         groups_bf=np.asarray(dbvh.groups_bf).view(np.uint16),
-        glo=np.asarray(dbvh.glo))
+        glo=np.asarray(dbvh.glo), pids_c=np.asarray(dbvh.pids_c))
 
 
 def load_dense(path: str, triangles=None, params: str = "") -> DenseBVH | None:
@@ -97,7 +97,8 @@ def load_dense(path: str, triangles=None, params: str = "") -> DenseBVH | None:
                            "world_lo", "world_hi")),
                         groups_bf=jnp.asarray(
                             z["groups_bf"].view(jnp.bfloat16)),
-                        glo=jnp.asarray(z["glo"]))
+                        glo=jnp.asarray(z["glo"]),
+                        pids_c=jnp.asarray(z["pids_c"]))
     except (OSError, KeyError, ValueError):
         return None
 

@@ -98,6 +98,12 @@ class DenseBVH(NamedTuple):
     groups_bf: jnp.ndarray | None = None   # (G*32, 128) bf16
     glo: jnp.ndarray | None = None         # (G*8,) f32 group AABB per group:
     #                                        [lo.xyz, 0, hi.xyz, 0] (SMEM)
+    # compact winner-decode table: the c <= C distinct mesh-local prim ids
+    # of group g at [g*C, g*C + c), padded with -1. The fast decode gathers
+    # from this (G*C,) array instead of the (G*16, 128) groups table — the
+    # XLA scalar gather that dominates the bf16 decode costs ~2.5x less
+    # from the small table (profiles/frame_r05_bf16, ~2.3 ms/call before).
+    pids_c: jnp.ndarray | None = None      # (G*C,) f32, C = max group period
 
     @property
     def n_nodes(self):
@@ -400,7 +406,13 @@ def _pack_groups_bf(groups: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         out[:, BF_BANDS * np.arange(9) + b, :] = np.take_along_axis(
             comps, np.broadcast_to(src, comps.shape), axis=2)
     out_bf = out.reshape(G * BF_ROWS, LEAF_W).astype(jnp.bfloat16)
-    return out_bf, glo.reshape(-1)
+    # compact winner-decode table: the first c slots of pidrow are the
+    # group's distinct prims (the row is c-periodic); pad to the scene-wide
+    # max period C with -1 (see DenseBVH.pids_c)
+    C = int(c_arr.max()) if G else 1
+    pids_c = np.where(np.arange(C)[None, :] < c_arr[:, None],
+                      pidrow[:, :C], -1.0).astype(np.float32)
+    return out_bf, glo.reshape(-1), pids_c.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +693,7 @@ def build_dense(triangles: np.ndarray, leaf_target: int = 64,
     nodes, segments, depth, root_lo, root_hi = _build_core_any(
         tri, leaf_target, hq, shape)
     groups = _pack_groups(tri, segments)
-    gbf, glo = _pack_groups_bf(groups)
+    gbf, glo, pids_c = _pack_groups_bf(groups)
     dbvh = DenseBVH(
         nodes16=jnp.asarray(nodes.reshape(-1)),
         groups=jnp.asarray(groups),
@@ -691,6 +703,7 @@ def build_dense(triangles: np.ndarray, leaf_target: int = 64,
         world_hi=jnp.asarray(root_hi),
         groups_bf=jnp.asarray(gbf),
         glo=jnp.asarray(glo),
+        pids_c=jnp.asarray(pids_c),
     )
     return dbvh, depth
 
@@ -860,7 +873,7 @@ def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
     meta = TLASMeta(tlas_cap=tlas_cap, inst_mesh=inst_mesh,
                     blas_root=node_off.copy(), blas_lo=blas_lo,
                     blas_hi=blas_hi)
-    gbf, glo = _pack_groups_bf(all_groups)
+    gbf, glo, pids_c = _pack_groups_bf(all_groups)
     dbvh = DenseBVH(
         nodes16=jnp.asarray(all_nodes.reshape(-1)),
         groups=jnp.asarray(all_groups),
@@ -870,6 +883,7 @@ def build_dense_tlas(mesh_tris: list[np.ndarray], inst_mesh, transforms,
         world_hi=jnp.asarray(hi.max(axis=0)),
         groups_bf=jnp.asarray(gbf),
         glo=jnp.asarray(glo),
+        pids_c=jnp.asarray(pids_c),
     )
     # depth: TLAS chain worst case + blas depth + restore sentinel
     depth = tlas_cap.bit_length() + depth_blas + 2

@@ -465,96 +465,153 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         t_init = jnp.where(alive, BVH_FAR, 0.0)
         hit = _closest(accel_sg, cfg, sg(o), sg(d), sg(t_init), sort=True,
                        refine="fast")
-        # differentiable re-intersection against the original-order triangle
         prim = jnp.maximum(hit.prim, 0)
-        found = hit.prim >= 0
-        attrs = gather_hit_attrs(scene, packs, prim)
-        rt, ru, rv = refine_hit(o, d, attrs["v0"], attrs["e1"], attrs["e2"],
-                                mask=found)
-        # bf16-apron guard (no-op for the exact f32 engines whose hits
-        # always have min_uv >= 0): a winner more than the accept apron
-        # outside its triangle is a silhouette phantom — drop it
-        inside = (jnp.minimum(jnp.minimum(ru, rv), 1.0 - ru - rv) > -0.02)
-        found = found & inside
-        # apron hits can carry slightly-negative barycentrics; clamp to the
-        # simplex (as _decode_refine does) so UV/normal interpolation never
-        # extrapolates outside the triangle. No-op for exact f32 engines.
-        ru = jnp.clip(ru, 0.0, 1.0)
-        rv = jnp.clip(rv, 0.0, jnp.maximum(1.0 - ru, 0.0))
-        hit_t = jnp.where(found, rt, hit.t)
-        hit_u = jnp.where(found, ru, 0.0)
-        hit_v = jnp.where(found, rv, 0.0)
-        primary_t = jnp.where(depth == 0, hit_t, primary_t)
-
-        miss = alive & ~found
-        if cfg.skybox and scene.sky.shape[0] > 1:
-            radiance = radiance + jnp.where(
-                miss[:, None], throughput * sample_skybox(scene.sky, d), 0.0)
-        alive = alive & found
-
-        # dead/missed lanes carry hit_t = BVH_FAR: o + 1e30*d overflows to
-        # inf and the NEE math's LOCAL Jacobians (e.g. d|lvec|/dlvec =
-        # lvec/inf) turn NaN — which the masked `where`s do NOT stop in the
-        # backward pass (0 cotangent x NaN Jacobian = NaN). A finite dummy
-        # point keeps every masked lane's math finite; its value is never
-        # used (all contributions gate on `alive`).
-        point = o + d * jnp.where(found, hit_t, 1.0)[:, None]
-        v = -d
-        geom_n = attrs["face_n"]
-        shad_n = shading_normal_packed(scene, attrs, hit_u, hit_v,
-                                       cfg.normal_mapped)
-        material = material_packed(scene, attrs, hit_u, hit_v)
-
-        vertex_rad = throughput * material.emissive
-        vertex_rad = vertex_rad + throughput * direct_lighting(
-            scene, cfg, point, shad_n, v, material, pixel_id, key, sample,
-            depth, alive=alive)
-
-        last = depth == cfg.bounces - 1
-        # reference: the dielectric branch discards this vertex's own
-        # emissive+NEE via its early return (Core/Renderer.cpp:331-372) —
-        # except at the last vertex, where :329 returns `result` first
-        is_dielectric = (material.transmissivness == 1.0) & ~last
-        radiance = radiance + jnp.where((alive & ~is_dielectric)[:, None],
-                                        vertex_rad, 0.0)
-
-        # ---- dielectric continuation: Fresnel russian roulette -------------
-        n1, n2 = 1.0, 1.46
-        cos_theta = jnp.clip(-dot(d, shad_n), 0.0, 1.0)
-        eta = n1 / n2
-        k = 1.0 - eta * eta * (1.0 - cos_theta * cos_theta)
-        r0 = ((n1 - n2) / (n1 + n2)) ** 2
-        fresnel = r0 + (1.0 - r0) * jnp.power(1.0 - cos_theta, 5.0)
-        fresnel = jnp.where(k <= 0.0, 1.0, fresnel)
-        u_diel = rng.uniform1(key, pixel_id, sample, depth, Purpose.DIELECTRIC)
-        take_reflect = u_diel < fresnel
-        refl_dir = reflect(d, shad_n)
-        refr_dir = refract(d, shad_n, eta)
-        diel_dir = jnp.where(take_reflect[:, None], refl_dir, refr_dir)
-        diel_org = jnp.where(take_reflect[:, None],
-                             point + shad_n * EPSILON, point - shad_n * EPSILON)
-
-        # ---- lobe selection (mirror fast path + RIS lottery) ---------------
-        is_mirror = (material.metalness == 1.0) & (material.roughness == 0.0)
-        p_spec = brdf_ops.get_brdf_probability(material, v, shad_n)
-        u_lobe = rng.uniform1(key, pixel_id, sample, depth, Purpose.LOBE_SELECT)
-        pick_spec = (u_lobe < p_spec) | is_mirror
-        lobe_div = jnp.where(is_mirror, 1.0,
-                             jnp.where(pick_spec, p_spec, 1.0 - p_spec))
-        brdf_type = jnp.where(pick_spec, brdf_ops.SPECULAR_TYPE,
-                              brdf_ops.DIFFUSE_TYPE).astype(jnp.int32)
-
-        u2 = rng.uniform2(key, pixel_id, sample, depth, Purpose.BRDF_SAMPLE)
-        bounce_dir, weight, valid = brdf_ops.eval_indirect_combined_brdf(
-            u2, shad_n, geom_n, v, material, brdf_type, cfg.brdf)
-
-        w_scaled = weight / lobe_div[:, None]
-        throughput = throughput * jnp.where(is_dielectric[:, None], 1.0, w_scaled)
+        found0 = hit.prim >= 0
         o_prev, d_prev = o, d
-        o = jnp.where(is_dielectric[:, None], diel_org,
-                      point + bounce_dir * EPSILON)
-        d = jnp.where(is_dielectric[:, None], diel_dir, bounce_dir)
-        alive = alive & jnp.where(is_dielectric, True, valid)
+
+        def shade(args):
+            o, d, radiance, throughput, alive, primary_t = args
+            # differentiable re-intersection against the original-order
+            # triangle
+            attrs = gather_hit_attrs(scene, packs, prim)
+            rt, ru, rv = refine_hit(o, d, attrs["v0"], attrs["e1"],
+                                    attrs["e2"], mask=found0)
+            # bf16-apron guard (no-op for the exact f32 engines whose hits
+            # always have min_uv >= 0): a winner more than the accept apron
+            # outside its triangle is a silhouette phantom — drop it
+            inside = (jnp.minimum(jnp.minimum(ru, rv), 1.0 - ru - rv) > -0.02)
+            found = found0 & inside
+            # apron hits can carry slightly-negative barycentrics; clamp to
+            # the simplex (as _decode_refine does) so UV/normal interpolation
+            # never extrapolates outside the triangle. No-op for f32 engines.
+            ru = jnp.clip(ru, 0.0, 1.0)
+            rv = jnp.clip(rv, 0.0, jnp.maximum(1.0 - ru, 0.0))
+            hit_t = jnp.where(found, rt, hit.t)
+            hit_u = jnp.where(found, ru, 0.0)
+            hit_v = jnp.where(found, rv, 0.0)
+            primary_t = jnp.where(depth == 0, hit_t, primary_t)
+
+            miss = alive & ~found
+            if cfg.skybox and scene.sky.shape[0] > 1:
+                radiance = radiance + jnp.where(
+                    miss[:, None], throughput * sample_skybox(scene.sky, d),
+                    0.0)
+            alive = alive & found
+
+            # dead/missed lanes carry hit_t = BVH_FAR: o + 1e30*d overflows
+            # to inf and the NEE math's LOCAL Jacobians (e.g. d|lvec|/dlvec =
+            # lvec/inf) turn NaN — which the masked `where`s do NOT stop in
+            # the backward pass (0 cotangent x NaN Jacobian = NaN). A finite
+            # dummy point keeps every masked lane's math finite; its value is
+            # never used (all contributions gate on `alive`).
+            point = o + d * jnp.where(found, hit_t, 1.0)[:, None]
+            v = -d
+            geom_n = attrs["face_n"]
+            shad_n = shading_normal_packed(scene, attrs, hit_u, hit_v,
+                                           cfg.normal_mapped)
+            material = material_packed(scene, attrs, hit_u, hit_v)
+
+            vertex_rad = throughput * material.emissive
+            vertex_rad = vertex_rad + throughput * direct_lighting(
+                scene, cfg, point, shad_n, v, material, pixel_id, key, sample,
+                depth, alive=alive)
+
+            last = depth == cfg.bounces - 1
+            # reference: the dielectric branch discards this vertex's own
+            # emissive+NEE via its early return (Core/Renderer.cpp:331-372) —
+            # except at the last vertex, where :329 returns `result` first
+            is_dielectric = (material.transmissivness == 1.0) & ~last
+            radiance = radiance + jnp.where((alive & ~is_dielectric)[:, None],
+                                            vertex_rad, 0.0)
+
+            # ---- dielectric continuation: Fresnel russian roulette ---------
+            n1, n2 = 1.0, 1.46
+            cos_theta = jnp.clip(-dot(d, shad_n), 0.0, 1.0)
+            eta = n1 / n2
+            k = 1.0 - eta * eta * (1.0 - cos_theta * cos_theta)
+            r0 = ((n1 - n2) / (n1 + n2)) ** 2
+            fresnel = r0 + (1.0 - r0) * jnp.power(1.0 - cos_theta, 5.0)
+            fresnel = jnp.where(k <= 0.0, 1.0, fresnel)
+            u_diel = rng.uniform1(key, pixel_id, sample, depth,
+                                  Purpose.DIELECTRIC)
+            take_reflect = u_diel < fresnel
+            refl_dir = reflect(d, shad_n)
+            refr_dir = refract(d, shad_n, eta)
+            diel_dir = jnp.where(take_reflect[:, None], refl_dir, refr_dir)
+            diel_org = jnp.where(take_reflect[:, None],
+                                 point + shad_n * EPSILON,
+                                 point - shad_n * EPSILON)
+
+            # ---- lobe selection (mirror fast path + RIS lottery) -----------
+            is_mirror = (material.metalness == 1.0) & (material.roughness == 0.0)
+            p_spec = brdf_ops.get_brdf_probability(material, v, shad_n)
+            u_lobe = rng.uniform1(key, pixel_id, sample, depth,
+                                  Purpose.LOBE_SELECT)
+            pick_spec = (u_lobe < p_spec) | is_mirror
+            lobe_div = jnp.where(is_mirror, 1.0,
+                                 jnp.where(pick_spec, p_spec, 1.0 - p_spec))
+            brdf_type = jnp.where(pick_spec, brdf_ops.SPECULAR_TYPE,
+                                  brdf_ops.DIFFUSE_TYPE).astype(jnp.int32)
+
+            u2 = rng.uniform2(key, pixel_id, sample, depth,
+                              Purpose.BRDF_SAMPLE)
+            bounce_dir, weight, valid = brdf_ops.eval_indirect_combined_brdf(
+                u2, shad_n, geom_n, v, material, brdf_type, cfg.brdf)
+
+            w_scaled = weight / lobe_div[:, None]
+            throughput = throughput * jnp.where(is_dielectric[:, None], 1.0,
+                                                w_scaled)
+            o = jnp.where(is_dielectric[:, None], diel_org,
+                          point + bounce_dir * EPSILON)
+            d = jnp.where(is_dielectric[:, None], diel_dir, bounce_dir)
+            alive = alive & jnp.where(is_dielectric, True, valid)
+            extras = None
+            if collect_live:
+                extras = (jnp.sum(alive_in.astype(jnp.int32)),
+                          jnp.sum((alive_in & found).astype(jnp.int32)))
+            if collect_debug:
+                extras = {
+                    "hit_t": hit_t,
+                    "hit_prim": jnp.where(found, hit.prim, -1),
+                    "hit_u": hit_u, "hit_v": hit_v,
+                    "point": point, "geom_n": geom_n, "shad_n": shad_n,
+                    "base_color": material.base_color,
+                    "metalness": material.metalness,
+                    "roughness": material.roughness,
+                    "vertex_radiance": jnp.where(
+                        (alive_in & ~is_dielectric)[:, None], vertex_rad, 0.0),
+                    "is_dielectric": is_dielectric,
+                    "picked_specular": pick_spec,
+                }
+            return (o, d, radiance, throughput, alive, primary_t), extras
+
+        def skip_shade(args):
+            # no lane hit anything: every alive lane missed — settle the
+            # miss bookkeeping (sky radiance, primary depth) and kill the
+            # wavefront without touching the shading/NEE/continuation block
+            o, d, radiance, throughput, alive, primary_t = args
+            primary_t = jnp.where(depth == 0, hit.t, primary_t)
+            if cfg.skybox and scene.sky.shape[0] > 1:
+                radiance = radiance + jnp.where(
+                    alive[:, None], throughput * sample_skybox(scene.sky, d),
+                    0.0)
+            alive = jnp.zeros_like(alive)
+            extras = None
+            if collect_live:
+                extras = (jnp.sum(alive_in.astype(jnp.int32)),
+                          jnp.zeros((), jnp.int32))
+            return (o, d, radiance, throughput, alive, primary_t), extras
+
+        # post-hit gate (r5): sky-heavy chunks whose every lane misses at
+        # bounce 0 skip the entire shading block too (the bounce-level gate
+        # only helps from bounce 1 on). Branches are collective-free, so a
+        # shard-local predicate is safe even under resharding.
+        args = (o, d, radiance, throughput, alive, primary_t)
+        if collect_debug:
+            (o, d, radiance, throughput, alive, primary_t), extras = shade(args)
+        else:
+            (o, d, radiance, throughput, alive, primary_t), extras = \
+                jax.lax.cond(jnp.any(found0), shade, skip_shade, args)
         if resharding:
             out = ring_restore(
                 dict(o=o, d=d, radiance=radiance, throughput=throughput,
@@ -563,30 +620,15 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             o, d = out["o"], out["d"]
             radiance, throughput = out["radiance"], out["throughput"]
             primary_t, alive = out["primary_t"], out["alive_f"]
-        dbg = None
-        if collect_live:
-            # (extension-ray lanes, shadow-ray lanes) per bounce: alive_in =
-            # lanes whose closest-hit trace this bounce is live; the NEE
-            # occlusion ray is traced for lanes still alive after the hit
-            # test (dead lanes' occlusion rays are tmax=0 no-ops). This tap
-            # calibrates the honest rays/s metric (utils/timer.ray_count).
-            dbg = (jnp.sum(alive_in.astype(jnp.int32)),
-                   jnp.sum((alive_in & found).astype(jnp.int32)))
+        # (collect_live) extras = (extension-ray lanes, shadow-ray lanes)
+        # per bounce — the tap calibrating the honest rays/s metric
+        # (utils/timer.ray_count). (collect_debug) extras = the per-bounce
+        # record dict from shade(); completed with the ray inputs here.
+        dbg = extras
         if collect_debug:
-            dbg = {
-                "ray_o": o_prev, "ray_d": d_prev,
-                "hit_t": hit_t, "hit_prim": jnp.where(found, hit.prim, -1),
-                "hit_inst": hit.inst, "hit_u": hit_u, "hit_v": hit_v,
-                "point": point, "geom_n": geom_n, "shad_n": shad_n,
-                "base_color": material.base_color,
-                "metalness": material.metalness,
-                "roughness": material.roughness,
-                "vertex_radiance": jnp.where(
-                    (alive_in & ~is_dielectric)[:, None], vertex_rad, 0.0),
-                "throughput_out": throughput,
-                "alive_out": alive, "is_dielectric": is_dielectric,
-                "picked_specular": pick_spec, "next_dir": d,
-            }
+            dbg = dict(extras, ray_o=o_prev, ray_d=d_prev,
+                       hit_inst=hit.inst, throughput_out=throughput,
+                       alive_out=alive, next_dir=d)
         return (o, d, radiance, throughput, alive, primary_t), dbg
 
     init = (o, d, jnp.zeros((B, 3), o.dtype), jnp.ones((B, 3), o.dtype),

@@ -153,7 +153,11 @@ def packed_tables(scene):
     The per-prim model id rides in the geom pack as an f32 column (exact
     for any realistic model count): gathering it as a separate (B,) i32
     take cost ~0.9 ms per bounce on TPU (scalar gathers are ~9 ns/element;
-    wide row gathers amortize), profiles/frame_r05_f32."""
+    wide row gathers amortize), profiles/frame_r05_f32. The texture
+    records ride the mat pack as 12 f32 columns for the same reason (the
+    separate (B,4,3) int take cost ~1.3 ms/bounce, profiles/frame_r05_bf16)
+    whenever every offset is f32-exact (< 2^24 — always true for texel
+    pools under 64 MTexels; larger pools keep the int gather)."""
     P = scene.tri_v0.shape[0]
     geom = jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2,
                             scene.face_normal,
@@ -161,25 +165,34 @@ def packed_tables(scene):
                            axis=1)
     shade = jnp.concatenate([scene.corner_normal.reshape(P, 9),
                              scene.corner_uv.reshape(P, 6)], axis=1)
-    mat = jnp.concatenate([scene.mat_base,
-                           scene.mat_metal[:, None],
-                           scene.mat_rough[:, None],
-                           scene.mat_emissive,
-                           scene.mat_transmissive[:, None],
-                           scene.mat_reflectance[:, None],
-                           scene.mat_opacity[:, None]], axis=1)
-    return geom, shade, mat
+    mat_cols = [scene.mat_base,
+                scene.mat_metal[:, None],
+                scene.mat_rough[:, None],
+                scene.mat_emissive,
+                scene.mat_transmissive[:, None],
+                scene.mat_reflectance[:, None],
+                scene.mat_opacity[:, None]]
+    recs_packed = int(scene.texel_pool.shape[0]) < (1 << 24)
+    if recs_packed:
+        M = scene.tex_record.shape[0]
+        mat_cols.append(scene.tex_record.reshape(M, 12).astype(jnp.float32))
+    mat = jnp.concatenate(mat_cols, axis=1)
+    return geom, shade, mat, recs_packed
 
 
 def gather_hit_attrs(scene, packs, prim):
     """One gather per pack for a batch of hit prims; returns a dict of the
     per-hit attribute slices every shading consumer needs."""
-    geom, shade, mat = packs
+    geom, shade, mat, recs_packed = packs
     g = jnp.take(geom, prim, axis=0, mode="clip")        # (B, 13)
     s = jnp.take(shade, prim, axis=0, mode="clip")       # (B, 15)
     model = g[:, 12].astype(jnp.int32)
-    m = jnp.take(mat, model, axis=0, mode="clip")        # (B, 10)
-    recs = _take(scene.tex_record, model)                # (B, 4, 3)
+    m = jnp.take(mat, model, axis=0, mode="clip")        # (B, 11[+12])
+    if recs_packed:
+        B = prim.shape[0]
+        recs = jnp.round(m[:, 11:23]).astype(jnp.int32).reshape(B, 4, 3)
+    else:
+        recs = _take(scene.tex_record, model)            # (B, 4, 3)
     return dict(v0=g[:, 0:3], e1=g[:, 3:6], e2=g[:, 6:9],
                 face_n=g[:, 9:12],
                 n0=s[:, 0:3], n1=s[:, 3:6], n2=s[:, 6:9],
