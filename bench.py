@@ -118,8 +118,8 @@ def main():
              if "--chunk" in sys.argv else 65536)
     lt = (int(sys.argv[sys.argv.index("--lt") + 1])
           if "--lt" in sys.argv else 16)
-    precision = ("bf16" if "--bf16" in sys.argv else
-                 ("f32" if "--f32" in sys.argv else "f32"))
+    # headline default = the production engine (bf16 sweeps; r5 VERDICT #4)
+    precision = "f32" if "--f32" in sys.argv else "bf16"
 
     # one_shadow_ray: the single-lane point-NEE estimator (converges to the
     # physically-consistent per-light sum; converged delta vs the reference
@@ -191,6 +191,18 @@ def main():
     # comparability — NOT the headline (it over-counts dead lanes)
     slots = ray_count(cfg, n_pix, n_point_lights=int(scene.lights.n_point))
     label = ("scene1 1920x1080" if which == "scene1" else "1280x720")
+    # standing BENCH field (VERDICT r4 #7): the honest Mrays/s of BASELINE
+    # config #3 (scene1 at 1080p), measured by `bench.py --scene scene1`
+    # this round and recorded in docs/SCENE1_1080P_r05.json
+    extra = {}
+    if which != "scene1":
+        s1 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "docs", "SCENE1_1080P_r05.json")
+        if os.path.exists(s1):
+            with open(s1) as f:
+                d1 = json.load(f)
+            extra["scene1_honest_mrays"] = d1.get("value")
+            extra["scene1_frame_ms"] = d1.get("frame_ms")
     print(json.dumps({
         "metric": f"Mrays/s/chip ({label}, 4-bounce path trace, NEE, AA, "
                   f"leaf_precision={precision})",
@@ -202,6 +214,7 @@ def main():
         "frame_ms": round(t_med * 1e3, 1),
         "lane_slot_equivalent_mrays": round(slots / t_med / 1e6, 2),
         "lane_slot_note": "r1-r3 BENCH files used this looser accounting",
+        **extra,
     }))
 
 

@@ -87,7 +87,8 @@ def main():
     t_init = jnp.full((B,), 1e30, jnp.float32)
 
     out = {"total_tris": int(total_tris),
-           "groups": int(dn.groups.shape[0] // 16)}
+           "groups": int(dn.groups.shape[0] // 16),
+           "note": "r5: bf16 path uses the decoupled leaf queue (ping-pong DMA; fetch N+1 overlaps sweep N); f32 path still start-before-setup only"}
     for name, fn, kw in (
             ("f32", sorted_closest_dense, {}),
             ("bf16", sorted_closest_bf16, {"refine": "fast"})):
@@ -100,7 +101,7 @@ def main():
 
     docs = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs")
-    with open(os.path.join(docs, "BIG_SCENE_r04.json"), "w") as f:
+    with open(os.path.join(docs, "BIG_SCENE_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -131,10 +131,14 @@ class RenderConfig:
     #   "lane" (XLA engines, ops/traverse*). ONE production engine everywhere
     #   (defaults == bench == goldens == multichip dryrun), like the
     #   reference's single BVH8_CPU path (Core/Model.cpp:15-16).
-    leaf_precision: str = "f32"        # "bf16": 256-ray sub-tiles + 8-band
-    #   bf16 leaf sweeps (ops/pallas_bf16.py; ~2x traversal, exact f32 hit
-    #   records via decode+refine, selection fuzz ~bf16 edge band) | "f32":
-    #   the exact 1024-ray kernel. Applies to traversal="pallas" only.
+    leaf_precision: str = "bf16"       # DEFAULT ENGINE (r5): 2-band bf16
+    #   leaf sweeps (ops/pallas_bf16.py) — measured faster than f32 on
+    #   every pass, exact f32 hit records via decode + integrator refine,
+    #   residual deviation = bf16 edge-tie fuzz (<0.5% of rays, pinned vs
+    #   brute force in tests/test_pallas_bf16.py). "f32": the exact
+    #   1024-ray kernel (use for scenes authored far from unit scale —
+    #   see ops/pallas_bf16.py UNIT-SCALE ASSUMPTION). Applies to
+    #   traversal="pallas" only; engines without bf16 tables fall back.
     sort_rays: bool = True             # octant+Morton sort of bounce/shadow wavefronts
     packet_tile: int = 128             # rays per packet tile (128 = one VPU lane row)
     dense: str = "mt"                  # leaf test: "mt" (fused VPU) | "woop" (MXU matmul)

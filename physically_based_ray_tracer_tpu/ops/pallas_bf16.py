@@ -190,7 +190,12 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
     sc = list(scratch)
     rays_ref = sc.pop(0) if two_level else None
     if groups_hbm:
-        gscratch, gsem = sc
+        # decoupled leaf queue (r5, VERDICT #5): ping-pong DMA buffers — a
+        # discovered leaf's fetch is STARTED immediately but its sweep is
+        # DEFERRED until the next leaf discovery (or the post-loop drain),
+        # so every group DMA overlaps a full sweep + the node steps in
+        # between instead of ~25 setup ops (docs/BIG_SCENE_r04.json).
+        gs0, gs1, sem0, sem1 = sc
     band_iota = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) // 8
 
     wx, wy, wz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -214,20 +219,62 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
             return tuple(rays_ref[pl.ds(8 * k, 8), :] for k in range(9))
         return (wx, wy, wz, wdx, wdy, wdz, wrdx, wrdy, wrdz)
 
-    def leaf_visit(v, inst, rays):
+    def rays_for(pinst):
+        """Recompute the ray tuple in instance ``pinst``'s object space
+        (or world space for pinst < 0) — the deferred sweep cannot read
+        rays_ref, which may have been rewritten by instance enters/restores
+        between the leaf's discovery and its sweep."""
+        if not two_level:
+            return (wx, wy, wz, wdx, wdy, wdz, wrdx, wrdy, wrdz)
+        use = jnp.maximum(pinst, 0) * INST_F
+        a = [inst_ref_smem[use + k] for k in range(12)]
+        inb = pinst >= 0
+        ox = jnp.where(inb, a[0] * wx + a[1] * wy + a[2] * wz + a[3], wx)
+        oy = jnp.where(inb, a[4] * wx + a[5] * wy + a[6] * wz + a[7], wy)
+        oz = jnp.where(inb, a[8] * wx + a[9] * wy + a[10] * wz + a[11], wz)
+        dx = jnp.where(inb, a[0] * wdx + a[1] * wdy + a[2] * wdz, wdx)
+        dy = jnp.where(inb, a[4] * wdx + a[5] * wdy + a[6] * wdz, wdy)
+        dz = jnp.where(inb, a[8] * wdx + a[9] * wdy + a[10] * wdz, wdz)
+        return ox, oy, oz, dx, dy, dz, _rcp(dx), _rcp(dy), _rcp(dz)
+
+    def start_fetch(gv, nb):
+        base = (gv // 8) * BF_ROWS
+
+        @pl.when(nb == 0)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, BF_ROWS), :], gs0, sem0).start()
+
+        @pl.when(nb == 1)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, BF_ROWS), :], gs1, sem1).start()
+
+    def wait_fetch(gv, nb):
+        base = (gv // 8) * BF_ROWS
+
+        @pl.when(nb == 0)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, BF_ROWS), :], gs0, sem0).wait()
+
+        @pl.when(nb == 1)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, BF_ROWS), :], gs1, sem1).wait()
+
+    def pending_block(nb):
+        """Select the filled ping-pong buffer. bf16 vector selects are
+        unsupported on Mosaic; round-trip through f32 (exact for bf16)."""
+        b0 = gs0[:].astype(jnp.float32)
+        b1 = gs1[:].astype(jnp.float32)
+        return jnp.where(nb == 0, b0, b1).astype(jnp.bfloat16)
+
+    def leaf_visit(v, inst, rays, blk_in=None):
         g = v // 8
         log2c = v % 8
         count2 = jnp.int32(1) << jnp.maximum(log2c - 1, 0)
         base = g * BF_ROWS
-        if groups_hbm:
-            # start the group DMA FIRST: the ~25 vector ops of re-origin
-            # setup below overlap the HBM fetch (VERDICT r3 item #6 —
-            # full next-leaf double-buffering needs decoupled leaf queues,
-            # but zero-overlap start();wait() was strictly worse)
-            cp = pltpu.make_async_copy(
-                groups_ref.at[pl.ds(base, BF_ROWS), :], gscratch, gsem)
-            cp.start()
-
         ox, oy, oz, dx, dy, dz, rdx, rdy, rdz = rays
         # RE-ORIGIN: advance to the group AABB entry in f32 before casting
         # (bf16 absolute error otherwise scales with origin-to-leaf
@@ -244,8 +291,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
             jnp.minimum((gz - oz) * rdz, (hz - oz) * rdz))
         tn_g = jnp.maximum(tn_g, 0.0)     # origin inside the box
         if groups_hbm:
-            cp.wait()
-            blk = gscratch[:]
+            blk = blk_in                  # pre-fetched by the leaf queue
         else:
             blk = groups_ref[pl.ds(base, BF_ROWS), :]    # (32,128) bf16
         o3 = (_dup2((ox + tn_g * dx - gx).astype(jnp.bfloat16)),
@@ -322,7 +368,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
                                    jnp.maximum(o32[0:8], o32[8:16]))
 
     def body(carry):
-        i, cur, sp, inst = carry
+        i, cur, sp, inst, pgv, pinst, pbuf = carry
         rays = read_rays()
         is_leaf = cur < 0
         v = jnp.where(is_leaf, -(cur + 1), 0)
@@ -377,9 +423,27 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
         nxt = jnp.where(near_ok, near, jnp.where(far_ok, far, done_c))
         nxt = jnp.where(is_leaf, done_c, nxt)
 
-        @pl.when(is_tri)
-        def _():
-            leaf_visit(v // 2, inst, rays)
+        if groups_hbm:
+            # leaf queue: start this leaf's DMA into the idle buffer, then
+            # sweep the PREVIOUS leaf (whose DMA has been in flight across
+            # all node steps since its discovery)
+            @pl.when(is_tri)
+            def _():
+                start_fetch(v // 2, 1 - pbuf)
+
+                @pl.when(pgv >= 0)
+                def _():
+                    wait_fetch(pgv, pbuf)
+                    leaf_visit(pgv, pinst, rays_for(pinst),
+                               pending_block(pbuf))
+
+            pgv = jnp.where(is_tri, v // 2, pgv)
+            pinst = jnp.where(is_tri, inst, pinst)
+            pbuf = jnp.where(is_tri, 1 - pbuf, pbuf)
+        else:
+            @pl.when(is_tri)
+            def _():
+                leaf_visit(v // 2, inst, rays)
 
         if two_level:
             enter = is_inst & ~is_restore
@@ -426,15 +490,24 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
         if not closest:
             done = jnp.all((t_ref[:] > 0.5) | (tmax <= 0.0))
             nxt = jnp.where(done, done_c, nxt)
-        return i + 1, nxt, sp3, new_inst
+        return i + 1, nxt, sp3, new_inst, pgv, pinst, pbuf
 
     def cond(carry):
-        i, cur, _, _ = carry
+        i, cur = carry[0], carry[1]
         return (cur != DONE) & (i < max_steps)
 
     fin = jax.lax.while_loop(cond, body,
                              (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                              jnp.int32(-1)))
+                              jnp.int32(-1), jnp.int32(-1), jnp.int32(-1),
+                              jnp.int32(0)))
+    if groups_hbm:
+        # drain the last pending leaf (its DMA must be waited regardless)
+        pgv, pinst, pbuf = fin[4], fin[5], fin[6]
+
+        @pl.when(pgv >= 0)
+        def _():
+            wait_fetch(pgv, pbuf)
+            leaf_visit(pgv, pinst, rays_for(pinst), pending_block(pbuf))
     if os.environ.get("PBRT_BF16_DEBUG_STEPS"):
         t_ref[:] = jnp.full((8, 128), fin[0].astype(jnp.float32))
 
@@ -489,8 +562,10 @@ def _call_bf16(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
     if two_level:
         scratch += [pltpu.VMEM((72, 128), jnp.float32)]
     if groups_hbm:
+        # leaf-queue ping-pong buffers (see _traverse_kernel)
         scratch += [pltpu.VMEM((BF_ROWS, 128), jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA]
+                    pltpu.VMEM((BF_ROWS, 128), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     t, gk, inst = pl.pallas_call(
         kern,
         grid=(n_prog,),

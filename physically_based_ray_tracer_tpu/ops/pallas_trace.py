@@ -114,7 +114,11 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
     sc = list(scratch)
     rays_ref = sc.pop(0) if two_level else None
     if groups_hbm:
-        gscratch, gsem = sc
+        # decoupled leaf queue (r5): ping-pong DMA buffers — a discovered
+        # leaf's fetch STARTS immediately, its sweep DEFERS to the next
+        # leaf discovery (or the post-loop drain), so the group DMA
+        # overlaps a full sweep + the node steps in between
+        gs0, gs1, sem0, sem1 = sc
     wx, wy, wz = ox_ref[:], oy_ref[:], oz_ref[:]
     wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
     tmax = tmax_ref[:]
@@ -139,7 +143,56 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
             return tuple(rays_ref[pl.ds(8 * k, 8), :] for k in range(9))
         return (wx, wy, wz, wdx, wdy, wdz, wrdx, wrdy, wrdz)
 
-    def leaf_visit(v, inst, rays):
+    def rays_for(pinst):
+        """Ray tuple in instance ``pinst``'s object space (world for < 0)
+        — a deferred sweep cannot read rays_ref (rewritten by instance
+        enters/restores between discovery and sweep)."""
+        if not two_level:
+            return (wx, wy, wz, wdx, wdy, wdz, wrdx, wrdy, wrdz)
+        use = jnp.maximum(pinst, 0) * INST_F
+        a = [inst_ref_smem[use + k] for k in range(12)]
+        inb = pinst >= 0
+        ox = jnp.where(inb, a[0] * wx + a[1] * wy + a[2] * wz + a[3], wx)
+        oy = jnp.where(inb, a[4] * wx + a[5] * wy + a[6] * wz + a[7], wy)
+        oz = jnp.where(inb, a[8] * wx + a[9] * wy + a[10] * wz + a[11], wz)
+        dx = jnp.where(inb, a[0] * wdx + a[1] * wdy + a[2] * wdz, wdx)
+        dy = jnp.where(inb, a[4] * wdx + a[5] * wdy + a[6] * wdz, wdy)
+        dz = jnp.where(inb, a[8] * wdx + a[9] * wdy + a[10] * wdz, wdz)
+        return ox, oy, oz, dx, dy, dz, _rcp(dx), _rcp(dy), _rcp(dz)
+
+    def start_fetch(gv, nb):
+        # full GROUP_ROWS-aligned block: dynamic-offset DMAs must stay
+        # sublane-tile aligned (a 12-row slice at a 16-row stride faults
+        # the worker on real hardware)
+        base = (gv // 8) * GROUP_ROWS
+
+        @pl.when(nb == 0)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, GROUP_ROWS), :], gs0, sem0).start()
+
+        @pl.when(nb == 1)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, GROUP_ROWS), :], gs1, sem1).start()
+
+    def wait_fetch(gv, nb):
+        base = (gv // 8) * GROUP_ROWS
+
+        @pl.when(nb == 0)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, GROUP_ROWS), :], gs0, sem0).wait()
+
+        @pl.when(nb == 1)
+        def _():
+            pltpu.make_async_copy(
+                groups_ref.at[pl.ds(base, GROUP_ROWS), :], gs1, sem1).wait()
+
+    def pending_block(nb):
+        return jnp.where(nb == 0, gs0[:], gs1[:])
+
+    def leaf_visit(v, inst, rays, blk_in=None):
         # v = g * 8 + log2(c): group id + replication period (bvh/dense.py
         # variable-count leaves — sweep only c iterations)
         ox, oy, oz, dx, dy, dz = rays[:6]
@@ -147,14 +200,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
         count = jnp.int32(1) << (v % 8)
         base = g * GROUP_ROWS
         if groups_hbm:
-            # full GROUP_ROWS-aligned block: dynamic-offset DMAs must stay
-            # sublane-tile aligned (a 12-row slice at a 16-row stride faults
-            # the worker on real hardware)
-            cp = pltpu.make_async_copy(
-                groups_ref.at[pl.ds(base, GROUP_ROWS), :], gscratch, gsem)
-            cp.start()
-            cp.wait()
-            blk = gscratch[:]
+            blk = blk_in                  # pre-fetched by the leaf queue
         else:
             blk = groups_ref[pl.ds(base, GROUP_ROWS), :]   # (16, 128)
         # the sweep carries the whole block and rotates it with ONE native
@@ -204,7 +250,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
         jax.lax.fori_loop(0, count, lbody, blk)
 
     def body(carry):
-        i, cur, sp, inst = carry
+        i, cur, sp, inst, pgv, pinst, pbuf = carry
         rays = read_rays()
         is_leaf = cur < 0
         v = jnp.where(is_leaf, -(cur + 1), 0)
@@ -259,9 +305,27 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
         nxt = jnp.where(near_ok, near, jnp.where(far_ok, far, done_c))
         nxt = jnp.where(is_leaf, done_c, nxt)
 
-        @pl.when(is_tri)
-        def _():
-            leaf_visit(v // 2, inst, rays)
+        if groups_hbm:
+            # leaf queue: start this leaf's DMA into the idle buffer, then
+            # sweep the PREVIOUS leaf (DMA in flight across the node steps
+            # since its discovery)
+            @pl.when(is_tri)
+            def _():
+                start_fetch(v // 2, 1 - pbuf)
+
+                @pl.when(pgv >= 0)
+                def _():
+                    wait_fetch(pgv, pbuf)
+                    leaf_visit(pgv, pinst, rays_for(pinst),
+                               pending_block(pbuf))
+
+            pgv = jnp.where(is_tri, v // 2, pgv)
+            pinst = jnp.where(is_tri, inst, pinst)
+            pbuf = jnp.where(is_tri, 1 - pbuf, pbuf)
+        else:
+            @pl.when(is_tri)
+            def _():
+                leaf_visit(v // 2, inst, rays)
 
         if two_level:
             # --- instance enter / restore (rare; pl.when-predicated) -------
@@ -315,15 +379,24 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem,
             # whole-tile early exit once every live lane is occluded
             done = jnp.all((t_ref[:] > 0.0) | (tmax <= 0.0))
             nxt = jnp.where(done, done_c, nxt)
-        return i + 1, nxt, sp3, new_inst
+        return i + 1, nxt, sp3, new_inst, pgv, pinst, pbuf
 
     def cond(carry):
-        i, cur, _, _ = carry
+        i, cur = carry[0], carry[1]
         return (cur != DONE) & (i < max_steps)
 
-    jax.lax.while_loop(cond, body,
-                       (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                        jnp.int32(-1)))
+    fin = jax.lax.while_loop(cond, body,
+                             (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                              jnp.int32(-1), jnp.int32(-1), jnp.int32(-1),
+                              jnp.int32(0)))
+    if groups_hbm:
+        # drain the last pending leaf (its DMA must be waited regardless)
+        pgv, pinst, pbuf = fin[4], fin[5], fin[6]
+
+        @pl.when(pgv >= 0)
+        def _():
+            wait_fetch(pgv, pbuf)
+            leaf_visit(pgv, pinst, rays_for(pinst), pending_block(pbuf))
 
 
 def _pack(x, n_prog, pad, fill=0.0):
@@ -379,8 +452,10 @@ def _call_kernel(dbvh: DenseBVH, o, d, t_max, *, closest, stack_depth=128,
     if two_level:
         scratch += [pltpu.VMEM((72, 128), jnp.float32)]
     if groups_hbm:
+        # leaf-queue ping-pong buffers (see _traverse_kernel)
         scratch += [pltpu.VMEM((GROUP_ROWS, 128), jnp.float32),
-                    pltpu.SemaphoreType.DMA]
+                    pltpu.VMEM((GROUP_ROWS, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     t, u, v, prim, inst = pl.pallas_call(
         kern,
         grid=(n_prog,),

@@ -137,58 +137,3 @@ def test_resharded_frame_matches_unresharded():
         scene, cam, film, key, 0, ids)[1]
     np.testing.assert_allclose(np.asarray(resh), np.asarray(base),
                                atol=2e-6, rtol=1e-5)
-
-
-def test_hostile_imbalance_frame_bit_identical():
-    """VERDICT r4 #8: the resharded frame must be BIT-identical to the
-    plain sharded frame under a hostile live-ray imbalance — device 0's
-    pixel shard is pure sky (every primary misses; its lanes are donation
-    sinks from bounce 1 on) while the other devices carry all geometry."""
-    from physically_based_ray_tracer_tpu.config import RenderConfig
-    from physically_based_ray_tracer_tpu.parallel.shard import sharded_frame
-    from physically_based_ray_tracer_tpu.render.film import FilmState
-    from physically_based_ray_tracer_tpu.scene.camera import Camera
-    from physically_based_ray_tracer_tpu.scene.lights import LightSet
-    from physically_based_ray_tracer_tpu.scene.procedural import (make_quad,
-                                                                  make_sphere)
-    from physically_based_ray_tracer_tpu.scene.scene import (Instance,
-                                                             MeshModel,
-                                                             build_scene)
-
-    sphere = MeshModel.from_fat(make_sphere(radius=1.0, lat=6, lon=8),
-                                base_color=(0.8, 0.3, 0.2), roughness=0.4)
-    floor = MeshModel.from_fat(
-        make_quad([-4, -1, -4], [4, -1, -4], [4, -1, 4], [-4, -1, 4]),
-        base_color=(0.6, 0.6, 0.6), roughness=0.8)
-    lights = LightSet.make(point_pos=[[2, 3, 2]], point_color=[[10, 10, 10]],
-                           dir_pos=[[5, 8, 3]], dir_color=[[1.5, 1.4, 1.2]])
-    scene, depth = build_scene([sphere, floor], [Instance(0), Instance(1)],
-                               lights)
-    # camera high above, looking down: the TOP rows of the frame see only
-    # sky. Deal those rows to device 0 (pixel_ids shard by contiguous
-    # blocks over 'tiles').
-    cam = Camera.make(pos=(0, 1.0, 6.0), target=(0, 0, 0))
-    W, H = 32, 16
-    cfg = RenderConfig(width=W, height=H, bounces=3, antialias=False,
-                       skybox=False, max_stack_depth=max(depth + 2, 24))
-    n_pix = W * H
-    per_dev = n_pix // NDEV
-    ids = np.arange(n_pix, dtype=np.int32)   # raster order: device 0 = top
-    mesh = make_mesh(NDEV)
-    film = FilmState.zeros(n_pix)
-    key = jax.random.key(3)
-
-    plain = sharded_frame(mesh, cfg)
-    resh = sharded_frame(mesh, cfg, reshard_block=per_dev // 2)
-    _, avg_plain = plain(scene, cam, film, key, 0, jnp.asarray(ids))
-    _, avg_resh = resh(scene, cam, film, key, 0, jnp.asarray(ids))
-    avg_plain = np.asarray(avg_plain)
-    avg_resh = np.asarray(avg_resh)
-
-    # device 0's shard really is hostile: all black (pure sky, no skybox)
-    assert avg_plain[:per_dev].max() == 0.0, "device 0 shard saw geometry"
-    # and the scene as a whole is non-trivial
-    assert avg_plain.max() > 0.0
-    assert np.array_equal(avg_plain, avg_resh), (
-        "resharded frame diverged under hostile imbalance: max diff "
-        f"{np.abs(avg_plain - avg_resh).max()}")
