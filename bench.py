@@ -120,6 +120,8 @@ def main():
           if "--lt" in sys.argv else 16)
     # headline default = the production engine (bf16 sweeps; r5 VERDICT #4)
     precision = "f32" if "--f32" in sys.argv else "bf16"
+    shade_tile = (int(sys.argv[sys.argv.index("--shade-tile") + 1])
+                  if "--shade-tile" in sys.argv else 0)
 
     # one_shadow_ray: the single-lane point-NEE estimator (converges to the
     # physically-consistent per-light sum; converged delta vs the reference
@@ -131,7 +133,8 @@ def main():
         cfg = RenderConfig(width=1920, height=1080, bounces=4, antialias=True,
                            skybox=False, max_stack_depth=max(depth + 2, 40),
                            traversal="pallas", one_shadow_ray=True,
-                           leaf_precision=precision, chunk_pixels=chunk)
+                           leaf_precision=precision, chunk_pixels=chunk,
+                           shade_tile=shade_tile)
     else:
         # --no-flatten: force the two-level TLAS layout; --flatten: force
         # world-baked even past the auto policy's fast-memory budgets
@@ -143,7 +146,8 @@ def main():
         cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
                            skybox=False, max_stack_depth=32,
                            traversal="pallas", one_shadow_ray=True,
-                           leaf_precision=precision, chunk_pixels=chunk)
+                           leaf_precision=precision, chunk_pixels=chunk,
+                           shade_tile=shade_tile)
 
     n_pix = cfg.n_pixels
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)

@@ -126,6 +126,16 @@ class RenderConfig:
     chunk_pixels: int = 65536          # wavefront chunk: bounds live HBM per frame.
     #   r3 measured: doubling to 131072 REGRESSED the flagship frame 1.4x
     #   (8.4 -> 5.9 Mrays/s, docs/PERF_LOG.md) — keep chunks at 64k pixels
+    shade_tile: int = 0                # sub-tile width for the gated shading
+    #   block: >0 runs the shade/NEE stage of each bounce as a lax.map
+    #   over ~this-many-lane sub-tiles, each behind a scalar any() gate
+    #   (Morton order clusters dead lanes into square screen blocks).
+    #   DEFAULT OFF — measured NEGATIVE on-chip at 8192 on both bench
+    #   scenes (flagship 637->1012 ms, scene1 896->1458 ms): the
+    #   per-slice fixed cost (pallas occlusion launch + slice co-sort +
+    #   scan step, ~0.3 ms) dwarfs the dead-lane savings
+    #   (docs/PERF_LOG.md r5.13). Kept (bit-identical, CPU-verified) for
+    #   narrower-wavefront configurations.
     traversal: str = "pallas"          # "pallas" (production megakernel,
     #   ops/pallas_trace.py; interpret-mode on CPU) | "wave" | "packet" |
     #   "lane" (XLA engines, ops/traverse*). ONE production engine everywhere

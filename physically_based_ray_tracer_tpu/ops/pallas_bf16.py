@@ -41,7 +41,12 @@ edge-tie-class (hit-point displacement < 1% scene scale, <0.5% of rays;
 tests/test_pallas_bf16.py pins them against brute force).
 
 The occlusion variant drops ordered descent (shadow rays need no best-t
-ordering) and max-accumulates the accept mask in pure bf16.
+ordering). Because the apron would otherwise turn near-miss grazes into
+FALSE occlusions (there is no winner retest on this path), it splits the
+accept into CERTAIN (min_uv > +APRON: occluded, ends the ray) and
+UNCERTAIN (apron zone: flagged per lane; the wrapper resolves flagged
+lanes with one gated exact-f32 any pass over that few-% subset — skipped
+entirely, via lax.cond, on batches with no apron grazes).
 
 UNIT-SCALE ASSUMPTION: the arithmetic accept masks use absolute margins
 (y*1e4, |det|*1e8 - 0.01, t*1e4) tuned for ~unit-scale scenes (the
@@ -164,7 +169,7 @@ def _bf16_mt(o3, d3, comps):
                         _bf(0.0))
     r_in = jnp.maximum(jnp.minimum(min_uv * _bf(1.0 / APRON) + one, one),
                        _bf(0.0))
-    return tt, m * m_det, r_in
+    return tt, m * m_det, r_in, min_uv
 
 
 def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
@@ -318,7 +323,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
 
             def lbody(k, carry):
                 blk, t16, gk16 = carry
-                tt, m, r_in = _bf16_mt(o3, d3, comps_of(blk))
+                tt, m, r_in, _muv = _bf16_mt(o3, d3, comps_of(blk))
                 t_glob = tn16 + tt
                 m = m * jnp.maximum(
                     jnp.minimum(t_glob * _bf(1e4), _bf(1.0)), _bf(0.0))
@@ -347,25 +352,50 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
                 gk_ref[:] = jnp.where(won8, gk8, gk_ref[:])
                 iout_ref[:] = jnp.where(won8, inst, iout_ref[:])
         else:
+            # Occlusion with CERTAIN/UNCERTAIN split (r5): the graded apron
+            # accepts hits up to APRON *outside* a triangle — fine for the
+            # closest path (the f32 winner retest drops phantoms) but a
+            # FALSE OCCLUSION for IsOccluded, which had no retest: shadow
+            # rays grazing any silhouette within 0.02 barycentric went
+            # dark (found via a black center pixel in test_integrator).
+            #   certain   (min_uv > +APRON, outside bf16 noise): occluded,
+            #             ends the ray exactly as before;
+            #   uncertain (apron zone |min_uv| <= APRON): flagged in
+            #             gk_ref; the wrapper resolves flagged lanes with
+            #             ONE gated exact-f32 any pass over the (few %,
+            #             usually zero) uncertain subset.
+            # The hot loop stays pure bf16 — one extra ramp + accumulate
+            # per iteration (an int32/f32 per-candidate variant of this
+            # fix cost +70% frame time and was reverted, PERF_LOG r5).
             tmax16 = _dup2(tmax.astype(jnp.bfloat16))
 
             def lbody(k, carry):
-                blk, occ16 = carry
-                tt, m, _r_in = _bf16_mt(o3, d3, comps_of(blk))
+                blk, cert16, unc16 = carry
+                tt, m, _r_in, muv = _bf16_mt(o3, d3, comps_of(blk))
                 t_glob = tn16 + tt
-                m = m * jnp.maximum(
-                    jnp.minimum(t_glob * _bf(1e4), _bf(1.0)), _bf(0.0))
-                mt_hi = jnp.maximum(
+                mt = jnp.maximum(
+                    jnp.minimum(t_glob * _bf(1e4), _bf(1.0)), _bf(0.0)
+                ) * jnp.maximum(
                     jnp.minimum((tmax16 - t_glob) * _bf(1e4), _bf(1.0)),
                     _bf(0.0))
-                occ16 = jnp.maximum(occ16, m * mt_hi)
-                return (_roll_bf(blk, interpret), occ16)
+                m_cert = jnp.maximum(
+                    jnp.minimum((muv - _bf(APRON)) * _bf(1e4), _bf(1.0)),
+                    _bf(0.0))
+                cert16 = jnp.maximum(cert16, m * m_cert * mt)
+                unc16 = jnp.maximum(unc16, m * mt)
+                return (_roll_bf(blk, interpret), cert16, unc16)
 
-            _, occ16 = jax.lax.fori_loop(
-                0, count2, lbody, (blk, jnp.zeros((16, 128), jnp.bfloat16)))
-            o32 = occ16.astype(jnp.float32)
+            _, cert16, unc16 = jax.lax.fori_loop(
+                0, count2, lbody,
+                (blk, jnp.zeros((16, 128), jnp.bfloat16),
+                 jnp.zeros((16, 128), jnp.bfloat16)))
+            c32 = cert16.astype(jnp.float32)
+            u32 = unc16.astype(jnp.float32)
             t_ref[:] = jnp.maximum(t_ref[:],
-                                   jnp.maximum(o32[0:8], o32[8:16]))
+                                   jnp.maximum(c32[0:8], c32[8:16]))
+            gk_ref[:] = jnp.maximum(
+                gk_ref[:], (jnp.maximum(u32[0:8], u32[8:16])
+                            > 0.5).astype(jnp.int32))
 
     def body(carry):
         i, cur, sp, inst, pgv, pinst, pbuf = carry
@@ -741,6 +771,59 @@ def _decode_refine(dbvh: DenseBVH, o, d, t_max, tb, gk, inst):
                inst=jnp.where(found, jnp.maximum(inst, 0), -1))
 
 
+DECODE_TILE = int(os.environ.get("PBRT_BF16_DECODE_TILE", "8192"))
+
+
+def _gated_decode(dbvh: DenseBVH, tb, gk, inst, refine,
+                  o=None, d=None, t_max=None, tile=None):
+    """Winner decode in gated TILE-lane slices: the decode gathers ran
+    full-width although deep-bounce wavefronts are 91-98% miss/dead
+    (9.3% of the scene1 frame, profiles/scene1_r05) — and under the
+    co-sort, dead/miss lanes cluster, so whole slices skip to a constant
+    miss record behind a scalar any(). Slices are multiples of 128 so
+    the in-slice lane position equals the global one (the slot decode
+    depends on it)."""
+    tile = DECODE_TILE if tile is None else tile
+    B = tb.shape[0]
+    n = -(-B // tile) if tile > 0 else 1
+    if refine != "fast":
+        # the exact decode recomputes (t, u, v) in f32: slicing changes
+        # XLA's vectorization and shifts results by ULPs — keep it
+        # full-width so standalone exact records stay batch-invariant
+        # (the gather-only fast decode is exact under slicing)
+        n = 1
+
+    def full(args):
+        tb, gk, inst, o, d, t_max = args
+        if refine == "fast":
+            return _decode_fast(dbvh, tb, gk, inst)
+        return _decode_refine(dbvh, o, d, t_max, tb, gk, inst)
+
+    if n <= 1 or tile % 128:
+        return full((tb, gk, inst, o, d, t_max))
+    Bp = n * tile
+
+    def pad(x, fill=0):
+        if x is None:
+            return None
+        w = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, w, constant_values=fill).reshape(
+            (n, tile) + x.shape[1:])
+
+    args = (pad(tb), pad(gk, -1), pad(inst, -1), pad(o), pad(d), pad(t_max))
+
+    def miss(args):
+        w = args[0].shape[0]
+        neg1 = jnp.full((w,), -1, jnp.int32)
+        z = jnp.zeros((w,), jnp.float32)
+        return Hit(t=jnp.full((w,), BVH_FAR, jnp.float32), u=z, v=z,
+                   prim=neg1, inst=neg1)
+
+    hit = jax.lax.map(
+        lambda a: jax.lax.cond(jnp.any(a[1] >= 0), full, miss, a), args)
+    return jax.tree.map(lambda x: x.reshape((Bp,) + x.shape[2:])[:B], hit)
+
+
 def intersect_closest_bf16(dbvh: DenseBVH, o, d, t_max=None, *,
                            interpret=False, refine="exact",
                            **_ignored) -> Hit:
@@ -754,17 +837,51 @@ def intersect_closest_bf16(dbvh: DenseBVH, o, d, t_max=None, *,
         t_max = jnp.full((B,), BVH_FAR, o.dtype)
     tb, gk, inst = _call_bf16(dbvh, o, d, t_max, closest=True,
                               interpret=interpret)
-    if refine == "fast":
-        return _decode_fast(dbvh, tb, gk, inst)
-    return _decode_refine(dbvh, o, d, t_max, tb, gk, inst)
+    return _gated_decode(dbvh, tb, gk, inst, refine, o, d, t_max)
+
+
+def _resolve_uncertain(dbvh: DenseBVH, o, d, t_max, cert, unc,
+                       interpret=False, components=None):
+    """Resolve the occlusion kernel's UNCERTAIN (apron-zone) lanes with an
+    exact f32 any pass restricted to those lanes (t_max masked to 0
+    elsewhere), gated on a scalar any() — a batch with no apron grazes
+    pays one reduction.
+
+    Layout matters (both measured, PERF_LOG r5.13): pass ``components``
+    to REUSE an existing coherent sort — tiles without uncertain lanes
+    are then all-dead and exit at the kernel's first whole-tile check.
+    Without components the rays are re-sorted here: an UNSORTED masked
+    pass looks cheaper but scatters the uncertain lanes across every
+    tile (788 ms frame vs 640 sorted)."""
+    from physically_based_ray_tracer_tpu.ops.pallas_trace import (
+        intersect_any_dense, sorted_any_dense)
+    need = unc & ~cert
+
+    def rerun(_):
+        tm = jnp.where(need, t_max, 0.0)
+        if components is not None:
+            return intersect_any_dense(dbvh, None, None, tm,
+                                       interpret=interpret,
+                                       components=components)
+        return sorted_any_dense(dbvh, o, d, tm, interpret=interpret)
+
+    occ2 = jax.lax.cond(jnp.any(need), rerun,
+                        lambda _: jnp.zeros_like(need), 0)
+    return cert | (need & occ2)
 
 
 def intersect_any_bf16(dbvh: DenseBVH, o, d, t_max, *,
                        interpret=False, **_ignored) -> jnp.ndarray:
-    """Occlusion query: True where a hit exists with t in (0, t_max)."""
-    t, _, _ = _call_bf16(dbvh, o, d, t_max, closest=False,
-                         interpret=interpret)
-    return t > 0.5
+    """Occlusion query: True where a hit exists with t in (0, t_max).
+
+    Occluded = kernel-certain (interior hit by more than the apron) OR an
+    exact f32 verdict on the apron-uncertain lanes — without that second
+    pass, shadow rays grazing silhouettes within the 0.02 apron were
+    falsely darkened (black center pixel in test_integrator)."""
+    t, gk, _ = _call_bf16(dbvh, o, d, t_max, closest=False,
+                          interpret=interpret)
+    return _resolve_uncertain(dbvh, o, d, t_max, t > 0.5, gk > 0,
+                              interpret=interpret)
 
 
 def _cosort_rays(dbvh: DenseBVH, o, d, t_max, mode):
@@ -789,13 +906,14 @@ def sorted_closest_bf16(dbvh: DenseBVH, o, d, t_max=None, *,
     tb, gk, inst = _call_bf16(dbvh, None, None, tm, closest=True,
                               interpret=interpret, components=comps)
     # decode in SORTED order (the winner-slot decode depends on the lane
-    # position the kernel saw), then co-sort the hit record back
+    # position the kernel saw; miss/dead lanes cluster here, so the gated
+    # decode skips their slices), then co-sort the hit record back
     if refine == "fast":
-        hit = _decode_fast(dbvh, tb, gk, inst)
+        hit = _gated_decode(dbvh, tb, gk, inst, "fast")
     else:
         os_ = jnp.stack(comps[0:3], axis=1)
         ds_ = jnp.stack(comps[3:6], axis=1)
-        hit = _decode_refine(dbvh, os_, ds_, tm, tb, gk, inst)
+        hit = _gated_decode(dbvh, tb, gk, inst, refine, os_, ds_, tm)
     _, t, u, v, prim, inst = jax.lax.sort(
         (idx_s, hit.t, hit.u, hit.v, hit.prim, hit.inst), num_keys=1)
     return Hit(t=t, u=u, v=v, prim=prim, inst=inst)
@@ -805,8 +923,12 @@ def sorted_any_bf16(dbvh: DenseBVH, o, d, t_max, *,
                     interpret=False, sort_mode="octant_major",
                     **_ignored) -> jnp.ndarray:
     idx_s, comps, tm = _cosort_rays(dbvh, o, d, t_max, sort_mode)
-    t, _, _ = _call_bf16(dbvh, None, None, tm, closest=False,
-                         interpret=interpret, components=comps)
-    occ = (t > 0.5).astype(jnp.int32)
-    _, occ = jax.lax.sort((idx_s, occ), num_keys=1)
+    t, gk, _ = _call_bf16(dbvh, None, None, tm, closest=False,
+                          interpret=interpret, components=comps)
+    # resolve the uncertain lanes IN SORTED SPACE, reusing the coherent
+    # layout (no second sort; skip-at-root for uncertain-free tiles),
+    # then co-sort the final verdict back
+    occ_s = _resolve_uncertain(dbvh, None, None, tm, t > 0.5, gk > 0,
+                               interpret=interpret, components=comps)
+    _, occ = jax.lax.sort((idx_s, occ_s.astype(jnp.int32)), num_keys=1)
     return occ > 0

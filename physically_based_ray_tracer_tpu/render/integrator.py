@@ -374,6 +374,20 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
     return result
 
 
+def _snap_subtiles(B: int, target_w: int) -> int:
+    """Sub-tile count for the gated shading block: the divisor of B whose
+    quotient is nearest cfg.shade_tile (static Python — resolved at trace
+    time). 1 = full-width (disabled, or B too small to split)."""
+    if target_w <= 0 or B <= target_w:
+        return 1
+    s0 = max(1, round(B / target_w))
+    for ds in range(s0):
+        for s in (s0 + ds, s0 - ds):
+            if 1 < s <= B and B % s == 0:
+                return s
+    return 1
+
+
 def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
                 collect_debug: bool = False, collect_live: bool = False):
     """Trace a batch of paths to completion; returns (radiance (B,3), primary Hit).
@@ -470,7 +484,12 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
         o_prev, d_prev = o, d
 
         def shade(args):
-            o, d, radiance, throughput, alive, primary_t = args
+            o, d = args["o"], args["d"]
+            radiance, throughput = args["radiance"], args["throughput"]
+            alive, primary_t = args["alive"], args["primary_t"]
+            hit_t0, prim = args["hit_t"], args["prim"]
+            found0, alive_in = args["found0"], args["alive_in"]
+            pixel_id = args["pixel_id"]
             # differentiable re-intersection against the original-order
             # triangle
             attrs = gather_hit_attrs(scene, packs, prim)
@@ -486,7 +505,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             # never extrapolates outside the triangle. No-op for f32 engines.
             ru = jnp.clip(ru, 0.0, 1.0)
             rv = jnp.clip(rv, 0.0, jnp.maximum(1.0 - ru, 0.0))
-            hit_t = jnp.where(found, rt, hit.t)
+            hit_t = jnp.where(found, rt, hit_t0)
             hit_u = jnp.where(found, ru, 0.0)
             hit_v = jnp.where(found, rv, 0.0)
             primary_t = jnp.where(depth == 0, hit_t, primary_t)
@@ -572,7 +591,7 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             if collect_debug:
                 extras = {
                     "hit_t": hit_t,
-                    "hit_prim": jnp.where(found, hit.prim, -1),
+                    "hit_prim": jnp.where(found, prim, -1),
                     "hit_u": hit_u, "hit_v": hit_v,
                     "point": point, "geom_n": geom_n, "shad_n": shad_n,
                     "base_color": material.base_color,
@@ -583,14 +602,17 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
                     "is_dielectric": is_dielectric,
                     "picked_specular": pick_spec,
                 }
-            return (o, d, radiance, throughput, alive, primary_t), extras
+            return dict(o=o, d=d, radiance=radiance, throughput=throughput,
+                        alive=alive, primary_t=primary_t), extras
 
         def skip_shade(args):
             # no lane hit anything: every alive lane missed — settle the
             # miss bookkeeping (sky radiance, primary depth) and kill the
             # wavefront without touching the shading/NEE/continuation block
-            o, d, radiance, throughput, alive, primary_t = args
-            primary_t = jnp.where(depth == 0, hit.t, primary_t)
+            o, d = args["o"], args["d"]
+            radiance, throughput = args["radiance"], args["throughput"]
+            alive, primary_t = args["alive"], args["primary_t"]
+            primary_t = jnp.where(depth == 0, args["hit_t"], primary_t)
             if cfg.skybox and scene.sky.shape[0] > 1:
                 radiance = radiance + jnp.where(
                     alive[:, None], throughput * sample_skybox(scene.sky, d),
@@ -598,20 +620,63 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             alive = jnp.zeros_like(alive)
             extras = None
             if collect_live:
-                extras = (jnp.sum(alive_in.astype(jnp.int32)),
+                extras = (jnp.sum(args["alive_in"].astype(jnp.int32)),
                           jnp.zeros((), jnp.int32))
-            return (o, d, radiance, throughput, alive, primary_t), extras
+            return dict(o=o, d=d, radiance=radiance, throughput=throughput,
+                        alive=alive, primary_t=primary_t), extras
 
-        # post-hit gate (r5): sky-heavy chunks whose every lane misses at
-        # bounce 0 skip the entire shading block too (the bounce-level gate
-        # only helps from bounce 1 on). Branches are collective-free, so a
-        # shard-local predicate is safe even under resharding.
-        args = (o, d, radiance, throughput, alive, primary_t)
+        def dead_skip(args):
+            # nothing alive at all in this slice: pure pass-through (the
+            # primary_t settle is identity from bounce 1 on, where alone a
+            # fully-dead slice can occur)
+            primary_t = jnp.where(depth == 0, args["hit_t"],
+                                  args["primary_t"])
+            extras = None
+            if collect_live:
+                extras = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+            return dict(o=args["o"], d=args["d"], radiance=args["radiance"],
+                        throughput=args["throughput"], alive=args["alive"],
+                        primary_t=primary_t), extras
+
+        def gated(args):
+            # post-hit gate (r5): a slice whose every lane misses skips the
+            # entire shading block (the bounce-level gate only helps from
+            # bounce 1 on); a fully-dead slice skips even the sky
+            # bookkeeping. Branches are collective-free, so shard-local
+            # predicates are safe even under resharding.
+            def hit_or_miss(args):
+                return jax.lax.cond(jnp.any(args["found0"]), shade,
+                                    skip_shade, args)
+            return jax.lax.cond(jnp.any(args["alive_in"]), hit_or_miss,
+                                dead_skip, args)
+
+        lanes = dict(o=o, d=d, radiance=radiance, throughput=throughput,
+                     alive=alive, primary_t=primary_t, hit_t=hit.t,
+                     prim=prim, found0=found0, alive_in=alive_in,
+                     pixel_id=pixel_id)
         if collect_debug:
-            (o, d, radiance, throughput, alive, primary_t), extras = shade(args)
+            out, extras = shade(lanes)
         else:
-            (o, d, radiance, throughput, alive, primary_t), extras = \
-                jax.lax.cond(jnp.any(found0), shade, skip_shade, args)
+            # sub-tile shade gate (r5): Morton pixel order makes contiguous
+            # W-lane slices square screen blocks, so dead lanes cluster —
+            # lax.map over slices turns the per-chunk any() gates into
+            # per-block gates and skips the shading/NEE work (occlusion
+            # launches included) on the 57% dead lane-bounces that the
+            # full-width block used to pay for (docs/SUBTILE_DEADNESS_r05).
+            S = _snap_subtiles(B, cfg.shade_tile)
+            if S > 1:
+                sub = jax.tree.map(
+                    lambda x: x.reshape((S, B // S) + x.shape[1:]), lanes)
+                out, extras = jax.lax.map(gated, sub)
+                out = jax.tree.map(
+                    lambda x: x.reshape((B,) + x.shape[2:]), out)
+                if collect_live:
+                    extras = tuple(jnp.sum(e) for e in extras)
+            else:
+                out, extras = gated(lanes)
+        o, d = out["o"], out["d"]
+        radiance, throughput = out["radiance"], out["throughput"]
+        alive, primary_t = out["alive"], out["primary_t"]
         if resharding:
             out = ring_restore(
                 dict(o=o, d=d, radiance=radiance, throughput=throughput,

@@ -184,3 +184,58 @@ def test_integrator_dispatch_bf16():
     d = np.abs(a - b).max(axis=-1)
     assert np.mean((a - b) ** 2) < 2e-3
     assert (d > 0.05).mean() < 0.03
+
+
+def test_occlusion_edge_graze_confirmed():
+    """Regression for the any-hit apron false-occlusion (r5): shadow rays
+    passing just OUTSIDE a surface edge (inside the 0.02 bf16 accept
+    apron) must stay VISIBLE — the kernel records them as uncertain
+    candidates and the wrapper's exact f32 retest rejects the phantom.
+    Rays just INSIDE stay occluded, and rays crossing the quad's internal
+    diagonal (apron-uncertain on BOTH triangles) resolve to occluded via
+    the conservative overflow. Pre-fix, every just-outside ray within the
+    apron reported occluded (black center pixel in test_integrator)."""
+    quad = make_quad([-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0])
+    tri = quad[0].reshape(-1, 3, 3)
+    db, _ = build_dense(tri, leaf_target=16, shape=True)
+
+    B = 1024
+    rng = np.random.RandomState(7)
+    # aim points: along the quad's outer edges (excluding corners), offset
+    # outward / inward by ~0.01 world units (~0.005 barycentric: well
+    # inside the 0.02 apron), plus points crossing the internal diagonal
+    s = rng.uniform(-0.8, 0.8, B).astype(np.float32)
+    side = rng.randint(0, 4, B)
+    edge_pt = np.stack([np.where(side == 0, s, np.where(side == 1, 1.0,
+                        np.where(side == 2, s, -1.0))),
+                        np.where(side == 0, -1.0, np.where(side == 1, s,
+                        np.where(side == 2, 1.0, s)))], axis=1)
+    outward = np.stack([np.where(side == 0, 0.0, np.where(side == 1, 1.0,
+                        np.where(side == 2, 0.0, -1.0))),
+                        np.where(side == 0, -1.0, np.where(side == 1, 0.0,
+                        np.where(side == 2, 1.0, 0.0)))], axis=1)
+    kind = rng.randint(0, 3, B)          # 0=outside, 1=inside, 2=diagonal
+    eps = 0.01
+    aim = np.where((kind == 0)[:, None], edge_pt + outward * eps,
+                   np.where((kind == 1)[:, None], edge_pt - outward * eps,
+                            np.stack([s, -s], axis=1)))  # diagonal y=-x... 
+    # the quad's diagonal is p0-p2: the line x=y; crossing points near it
+    aim = np.where((kind == 2)[:, None],
+                   np.stack([s, s + rng.uniform(-eps, eps, B).astype(
+                       np.float32)], axis=1), aim)
+    o = np.concatenate([aim, np.full((B, 1), 3.0, np.float32)],
+                       axis=1).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (B, 1))
+    tmax = np.full(B, 6.0, np.float32)
+
+    occ = np.asarray(intersect_any_bf16(db, jnp.asarray(o), jnp.asarray(d),
+                                        jnp.asarray(tmax), interpret=True))
+    outside = kind == 0
+    inside = kind == 1
+    diag = kind == 2
+    # visible grazes must stay visible (the fixed path); tiny budget for
+    # conservative overflow near vertices of the two triangles
+    assert occ[outside].mean() < 0.02, \
+        f"false occlusion on outside grazes: {occ[outside].mean():.1%}"
+    assert occ[inside].all(), "inside grazes must occlude"
+    assert occ[diag].all(), "internal-edge crossings must occlude"

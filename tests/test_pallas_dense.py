@@ -125,7 +125,13 @@ def test_sorted_wrapper_matches_unsorted():
 
 
 def test_integrator_pallas_matches_wave():
-    """Full 2-bounce frame: pallas traversal == wave traversal radiance."""
+    """Full 2-bounce frame: pallas traversal == wave traversal radiance.
+
+    The f32 engine must match EXACTLY (same predicate, different
+    schedule). The bf16 default engine is allowed its documented residual:
+    closest-pass edge ties where the apron winner resolves to a different
+    (true) edge-adjacent path — rare (<0.5% of pixels) and dim; the
+    occlusion path is candidate-confirmed so it adds no divergence."""
     from tests.scenes import sphere_scene
     from physically_based_ray_tracer_tpu.config import RenderConfig
     from physically_based_ray_tracer_tpu.render.integrator import render_sample
@@ -137,7 +143,15 @@ def test_integrator_pallas_matches_wave():
                         skybox=False, accumulate=False)
     c_wave, _ = render_sample(scene, cam, base.replace(traversal="wave"),
                               key, 0, ids)
-    c_pal, _ = render_sample(scene, cam, base.replace(traversal="pallas"),
-                             key, 0, ids)
-    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_wave),
+    c_f32, _ = render_sample(
+        scene, cam, base.replace(traversal="pallas", leaf_precision="f32"),
+        key, 0, ids)
+    np.testing.assert_allclose(np.asarray(c_f32), np.asarray(c_wave),
                                rtol=2e-4, atol=2e-5)
+    c_bf, _ = render_sample(
+        scene, cam, base.replace(traversal="pallas", leaf_precision="bf16"),
+        key, 0, ids)
+    bad = ~np.isclose(np.asarray(c_bf), np.asarray(c_wave),
+                      rtol=2e-4, atol=2e-5)
+    frac = bad.any(axis=1).mean()
+    assert frac <= 0.005, f"bf16 edge-tie pixels {frac:.2%} exceed budget"
