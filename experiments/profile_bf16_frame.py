@@ -1,6 +1,6 @@
 """jax.profiler trace of the current production frame (bf16, instanced).
 
-Run: python experiments/profile_bf16_frame.py -> profiles/frame_r05_bf16/
+Run: python experiments/profile_bf16_frame.py -> profiles/frame_r05_final/
 """
 
 import functools
@@ -26,7 +26,7 @@ def main():
     from physically_based_ray_tracer_tpu.render.film import FilmState
     from physically_based_ray_tracer_tpu.render.renderer import frame_fn
 
-    scene, cam, _ = build_bench_scene(flatten=False)
+    scene, cam, _ = build_bench_scene()   # flatten="auto" == bench
     cfg = RenderConfig(width=1280, height=720, bounces=4, antialias=True,
                        skybox=False, max_stack_depth=32, traversal="pallas",
                        one_shadow_ray=True, leaf_precision="bf16")
@@ -48,7 +48,7 @@ def main():
     sync(avg)
     print("frame ms:", round((time.perf_counter() - t0) * 1e3, 1), flush=True)
 
-    prof_dir = os.path.join(root, "profiles", "frame_r05_bf16")
+    prof_dir = os.path.join(root, "profiles", "frame_r05_final")
     os.makedirs(prof_dir, exist_ok=True)
     with jax.profiler.trace(prof_dir):
         film_out, avg = frame(scene, cam, film=film_out, key=key, sample=2,

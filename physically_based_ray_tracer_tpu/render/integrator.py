@@ -662,7 +662,9 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             # lax.map over slices turns the per-chunk any() gates into
             # per-block gates and skips the shading/NEE work (occlusion
             # launches included) on the 57% dead lane-bounces that the
-            # full-width block used to pay for (docs/SUBTILE_DEADNESS_r05).
+            # full-width block used to pay for. MEASURED NEGATIVE on-chip
+            # at every granularity (per-slice fixed costs, PERF_LOG r5.13)
+            # hence shade_tile defaults to 0; kept for narrow wavefronts.
             S = _snap_subtiles(B, cfg.shade_tile)
             if S > 1:
                 sub = jax.tree.map(

@@ -177,21 +177,42 @@ def packed_tables(scene):
         M = scene.tex_record.shape[0]
         mat_cols.append(scene.tex_record.reshape(M, 12).astype(jnp.float32))
     mat = jnp.concatenate(mat_cols, axis=1)
+    # ONE-pack mode (r5, profiles/frame_r05_final): a per-lane row gather
+    # costs ~9 ns/ROW regardless of width, so the three takes below
+    # (geom by prim, shade by prim, mat by model) cost 3x what one wider
+    # take does. Denormalize the small per-model mat table to per-prim
+    # and concatenate everything into one (P, 51) pack — ONE row gather
+    # per bounce. Gated by prim count: the denormalized pack costs
+    # P*51*4 B of HBM (7.8 MB for the 38k-tri bench; skipped for
+    # 1M-tri-class scenes where 200 MB is not worth the gather saving).
+    if P <= MERGED_PACK_MAX_PRIMS:
+        mat_pp = jnp.take(mat, scene.prim_model, axis=0, mode="clip")
+        merged = jnp.concatenate([geom, shade, mat_pp], axis=1)
+        return merged, None, None, recs_packed
     return geom, shade, mat, recs_packed
 
 
+MERGED_PACK_MAX_PRIMS = 262144
+
+
 def gather_hit_attrs(scene, packs, prim):
-    """One gather per pack for a batch of hit prims; returns a dict of the
-    per-hit attribute slices every shading consumer needs."""
+    """One gather (merged pack) or one per pack for a batch of hit prims;
+    returns a dict of the per-hit attribute slices every shading consumer
+    needs."""
     geom, shade, mat, recs_packed = packs
-    g = jnp.take(geom, prim, axis=0, mode="clip")        # (B, 13)
-    s = jnp.take(shade, prim, axis=0, mode="clip")       # (B, 15)
-    model = g[:, 12].astype(jnp.int32)
-    m = jnp.take(mat, model, axis=0, mode="clip")        # (B, 11[+12])
+    B = prim.shape[0]
+    if shade is None:
+        gs = jnp.take(geom, prim, axis=0, mode="clip")   # (B, 51)
+        g, s, m = gs[:, 0:13], gs[:, 13:28], gs[:, 28:]
+    else:
+        g = jnp.take(geom, prim, axis=0, mode="clip")    # (B, 13)
+        s = jnp.take(shade, prim, axis=0, mode="clip")   # (B, 15)
+        model = g[:, 12].astype(jnp.int32)
+        m = jnp.take(mat, model, axis=0, mode="clip")    # (B, 11[+12])
     if recs_packed:
-        B = prim.shape[0]
         recs = jnp.round(m[:, 11:23]).astype(jnp.int32).reshape(B, 4, 3)
     else:
+        model = g[:, 12].astype(jnp.int32)
         recs = _take(scene.tex_record, model)            # (B, 4, 3)
     return dict(v0=g[:, 0:3], e1=g[:, 3:6], e2=g[:, 6:9],
                 face_n=g[:, 9:12],
