@@ -122,6 +122,11 @@ def main():
     precision = "f32" if "--f32" in sys.argv else "bf16"
     shade_tile = (int(sys.argv[sys.argv.index("--shade-tile") + 1])
                   if "--shade-tile" in sys.argv else 0)
+    # --exact-shadow: bound point-light shadow rays at the light (the
+    # physical mode) instead of the reference's tmax = dist^2 quirk
+    # (Core/Renderer.cpp:257) that traverses far past it — measures the
+    # quirk's traversal tax (docs/PERF_LOG.md)
+    exact_shadow = "--exact-shadow" in sys.argv
 
     # one_shadow_ray: the single-lane point-NEE estimator (converges to the
     # physically-consistent per-light sum; converged delta vs the reference
@@ -134,7 +139,8 @@ def main():
                            skybox=False, max_stack_depth=max(depth + 2, 40),
                            traversal="pallas", one_shadow_ray=True,
                            leaf_precision=precision, chunk_pixels=chunk,
-                           shade_tile=shade_tile)
+                           shade_tile=shade_tile,
+                           exact_shadow_tmax=exact_shadow)
     else:
         # --no-flatten: force the two-level TLAS layout; --flatten: force
         # world-baked even past the auto policy's fast-memory budgets
@@ -147,7 +153,8 @@ def main():
                            skybox=False, max_stack_depth=32,
                            traversal="pallas", one_shadow_ray=True,
                            leaf_precision=precision, chunk_pixels=chunk,
-                           shade_tile=shade_tile)
+                           shade_tile=shade_tile,
+                           exact_shadow_tmax=exact_shadow)
 
     n_pix = cfg.n_pixels
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
