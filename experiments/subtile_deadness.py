@@ -31,6 +31,8 @@ WIDTHS = [2048, 4096, 8192, 16384]
 
 def main():
     import jax
+
+    jax.config.update("jax_platforms", "cpu")   # the axon plugin ignores env
     import jax.numpy as jnp
     import numpy as np
 

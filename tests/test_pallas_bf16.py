@@ -218,8 +218,9 @@ def test_occlusion_edge_graze_confirmed():
     eps = 0.01
     aim = np.where((kind == 0)[:, None], edge_pt + outward * eps,
                    np.where((kind == 1)[:, None], edge_pt - outward * eps,
-                            np.stack([s, -s], axis=1)))  # diagonal y=-x... 
-    # the quad's diagonal is p0-p2: the line x=y; crossing points near it
+                            np.stack([s, -s], axis=1)))
+    # the quad's internal diagonal is p0-p2 (the line x=y); kind==2 aims
+    # at crossing points within eps of it
     aim = np.where((kind == 2)[:, None],
                    np.stack([s, s + rng.uniform(-eps, eps, B).astype(
                        np.float32)], axis=1), aim)
