@@ -295,6 +295,18 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
             jnp.minimum((gy - oy) * rdy, (hy - oy) * rdy)),
             jnp.minimum((gz - oz) * rdz, (hz - oz) * rdz))
         tn_g = jnp.maximum(tn_g, 0.0)     # origin inside the box
+        # per-lane box gate (r5): a group is visited when ANY tile lane's
+        # slab passes, but every lane gets swept — and a lane that truly
+        # MISSES the box is re-originated at a garbage entry point, where
+        # the bf16 apron can phantom-accept (observed: one false shadow
+        # whose verdict flipped with tile composition). The lane's own
+        # exact f32 slab verdict masks its accepts: any true hit lies
+        # inside the box, so tn<=tf & tf>=0 is conservative.
+        tf_g = jnp.minimum(jnp.minimum(
+            jnp.maximum((gx - ox) * rdx, (hx - ox) * rdx),
+            jnp.maximum((gy - oy) * rdy, (hy - oy) * rdy)),
+            jnp.maximum((gz - oz) * rdz, (hz - oz) * rdz))
+        bm = _dup2(((tn_g <= tf_g) & (tf_g >= 0.0)).astype(jnp.bfloat16))
         if groups_hbm:
             blk = blk_in                  # pre-fetched by the leaf queue
         else:
@@ -324,6 +336,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
             def lbody(k, carry):
                 blk, t16, gk16 = carry
                 tt, m, r_in, _muv = _bf16_mt(o3, d3, comps_of(blk))
+                m = m * bm
                 t_glob = tn16 + tt
                 m = m * jnp.maximum(
                     jnp.minimum(t_glob * _bf(1e4), _bf(1.0)), _bf(0.0))
@@ -372,6 +385,7 @@ def _traverse_kernel(nodes_ref, groups_ref, inst_ref_smem, glo_ref,
             def lbody(k, carry):
                 blk, cert16, unc16 = carry
                 tt, m, _r_in, muv = _bf16_mt(o3, d3, comps_of(blk))
+                m = m * bm
                 t_glob = tn16 + tt
                 mt = jnp.maximum(
                     jnp.minimum(t_glob * _bf(1e4), _bf(1.0)), _bf(0.0)

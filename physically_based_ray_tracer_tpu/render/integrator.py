@@ -187,16 +187,21 @@ def _light_type_weights(lights):
 
 
 def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
-                    pixel_id, key, sample, depth, alive=None):
+                    pixel_id, key, sample, depth, alive=None,
+                    count_shadow: bool = False):
     """Stochastic next-event estimation (Core/Renderer.cpp:198-326).
 
     Returns the radiance contribution at this vertex (throughput NOT applied).
     Two batched occlusion launches: one for the (lane, n_point) point-light
     shadow rays, one for the per-lane selected dir/spot/area shadow ray.
+    ``count_shadow=True`` additionally returns the number of shadow rays
+    ACTUALLY traced (tmax > 0 lanes; zero-contribution rays are masked
+    off, see the shared pass) — the honest-metric calibration tap.
     """
     lights = scene.lights
     B = point.shape[0]
     zeros = jnp.zeros((B, 3), point.dtype)
+    n_traced = jnp.zeros((), jnp.int32)
     # dead lanes shade at a finite dummy point (see trace_paths): their
     # occlusion rays must still be tmax=0 no-ops or they traverse like live
     # rays (frame-measured 1.3x regression when they did)
@@ -204,7 +209,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
     weights = _light_type_weights(lights)
     if weights is None or not cfg.lighted:
-        return zeros
+        return (zeros, n_traced) if count_shadow else zeros
 
     if cfg.stochastic_lights:
         u_pick = rng.uniform1(key, pixel_id, sample, depth, Purpose.LIGHT_TYPE)
@@ -216,7 +221,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
     else:
         # non-stochastic fallback: directional only (Core/Renderer.cpp:312-326)
         if lights.n_dir == 0:
-            return zeros
+            return (zeros, n_traced) if count_shadow else zeros
         p_dir = 1.0
         p_point = p_spot = p_area = 0.0
         pick_point = jnp.zeros((B,), bool)
@@ -286,9 +291,15 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
         sd = sg(jnp.swapaxes(ldir, 0, 1).reshape(np_ * B, 3))
         # reference quirk: tmax = dist^2 - EPSILON (squared; Core/Renderer.cpp:257)
         shadow_len = dist if cfg.exact_shadow_tmax else dist_sq
+        # per-(lane, light) zero-contribution mask: see the shared pass —
+        # a visible verdict multiplies into contrib == 0 anyway
         tmax = sg(jnp.swapaxes(
-            jnp.where((pick_point & live)[:, None], shadow_len - EPSILON, 0.0),
+            jnp.where((pick_point & live)[:, None]
+                      & (jnp.sum(contrib, axis=-1) > 0),
+                      shadow_len - EPSILON, 0.0),
             0, 1).reshape(np_ * B))
+        if count_shadow:
+            n_traced = n_traced + jnp.sum((tmax > 0).astype(jnp.int32))
         occ = jnp.swapaxes(_anyhit(accel_sg, cfg, so, sd, tmax, sort=True)
                            .reshape(np_, B), 0, 1)
         visible = (~occ) & pick_point[:, None]
@@ -360,7 +371,17 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
 
         sg = jax.lax.stop_gradient
         so = point + l_dir * EPSILON
-        t_other = jnp.where(live, t_other, 0.0)
+        # zero-contribution shadow rays are pure waste: occ multiplies
+        # into where(..., bsdf * contrib_other, 0), and every contrib term
+        # is built from clamped nonnegative factors, so contrib == 0 (the
+        # backfacing cos, out-of-cone spot, inactive padded light cases)
+        # makes the verdict unobservable — mask tmax EXACTLY there and the
+        # kernel's dead-flagged sort folds those lanes into dead tiles.
+        # Image-identical by construction.
+        t_other = jnp.where(live & (jnp.sum(contrib_other, axis=-1) > 0),
+                            t_other, 0.0)
+        if count_shadow:
+            n_traced = n_traced + jnp.sum((t_other > 0).astype(jnp.int32))
         occ = _anyhit(jax.tree.map(sg, Accel(scene.bvh, scene.dense)), cfg,
                       sg(so), sg(l_dir), sg(t_other), sort=True)
         bsdf = brdf_ops.eval_combined_brdf(shading_n, l_dir, v, material, cfg.brdf)
@@ -371,7 +392,7 @@ def direct_lighting(scene, cfg: RenderConfig, point, shading_n, v, material,
                           bsdf * contrib_other, 0.0)
         result = result + other
 
-    return result
+    return (result, n_traced) if count_shadow else result
 
 
 def _snap_subtiles(B: int, target_w: int) -> int:
@@ -531,9 +552,13 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             material = material_packed(scene, attrs, hit_u, hit_v)
 
             vertex_rad = throughput * material.emissive
-            vertex_rad = vertex_rad + throughput * direct_lighting(
+            dl = direct_lighting(
                 scene, cfg, point, shad_n, v, material, pixel_id, key, sample,
-                depth, alive=alive)
+                depth, alive=alive, count_shadow=collect_live)
+            n_shadow = None
+            if collect_live:
+                dl, n_shadow = dl
+            vertex_rad = vertex_rad + throughput * dl
 
             last = depth == cfg.bounces - 1
             # reference: the dielectric branch discards this vertex's own
@@ -586,8 +611,10 @@ def trace_paths(scene, cfg: RenderConfig, o, d, pixel_id, key, sample,
             alive = alive & jnp.where(is_dielectric, True, valid)
             extras = None
             if collect_live:
-                extras = (jnp.sum(alive_in.astype(jnp.int32)),
-                          jnp.sum((alive_in & found).astype(jnp.int32)))
+                # shadow count = rays ACTUALLY traced (zero-contribution
+                # rays are tmax-masked and excluded) — keeps the honest
+                # metric honest after the r5 zero-contrib pruning
+                extras = (jnp.sum(alive_in.astype(jnp.int32)), n_shadow)
             if collect_debug:
                 extras = {
                     "hit_t": hit_t,
